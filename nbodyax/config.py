@@ -1,0 +1,203 @@
+"""Configuration system.
+
+Reads the exact ``nbodyConfig.txt`` ``key=value`` format of the reference
+(``/root/reference/include/nbodyConfig.h:22-227``): one key per line, values
+parsed with C++ ``std::stoi``/``std::stof`` semantics (longest valid numeric
+prefix; trailing junk such as the ``f`` suffix in ``0.2f`` is ignored,
+cf. ``/root/reference/nbodyConfig.txt:4-9``), hard error on unparseable values,
+and *warn-and-ignore* on unknown keys (``nbodyConfig.h:222-224``).
+
+New framework-only keys (softening, collisionMode, ...) are deliberately plain
+new key names so that the reference parser would warn-and-ignore them — the
+file format stays a two-way compatibility surface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+import sys
+from typing import Optional
+
+__all__ = ["SimConfig", "ConfigError", "parse_config_file", "parse_config_text"]
+
+
+class ConfigError(ValueError):
+    """Raised where the reference would print an error and exit(1)
+    (``nbodyConfig.h:41-44`` and siblings)."""
+
+
+# C++ std::stoi: optional ws, optional sign, decimal digits; ignores trailing junk.
+_STOI_RE = re.compile(r"\s*([+-]?\d+)")
+# C++ std::stof: optional ws, then a float literal (fixed/scientific/hex omitted),
+# ignores trailing junk (which is how '0.2f' parses as 0.2).
+_STOF_RE = re.compile(r"\s*([+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)")
+
+
+def _stoi(text: str, key: str) -> int:
+    m = _STOI_RE.match(text)
+    if not m:
+        raise ConfigError(f"{key} invalid value: {text!r}")
+    return int(m.group(1))
+
+
+def _stof(text: str, key: str) -> float:
+    m = _STOF_RE.match(text)
+    if not m:
+        raise ConfigError(f"{key} invalid value: {text!r}")
+    return float(m.group(1))
+
+
+@dataclasses.dataclass
+class SimConfig:
+    """All simulation settings.
+
+    The first block mirrors ``struct ConfigData``
+    (``/root/reference/include/nbodyConfig.h:4-19``) with identical defaults to
+    the shipped ``nbodyConfig.txt`` scene (``/root/reference/nbodyConfig.txt``).
+    The second block is new, TPU-framework-only configuration.
+    """
+
+    # --- reference-compatible fields (nbodyConfig.h:4-19) ---
+    particle_count: int = 16384
+    total_iterations: int = 2000
+    save_image_every: int = 10            # save_Image_Every_Xth_Iteration
+    timestep: float = 0.2
+    min_body_mass: float = 1e4            # minRandBodyMass
+    max_body_mass: float = 1e17           # maxRandBodyMass
+    min_radius: float = 50.0
+    max_radius: float = 200.0
+    growth_rate: float = 0.1              # radiusGrowthRate
+    img_width: int = 1024
+    img_height: int = 1024
+    field_width: int = 100000
+    field_height: int = 100000
+    image_path: str = "iter_img"
+
+    # --- framework extensions (warn-ignored by the reference parser) ---
+    seed: int = 1024                      # reference hardcodes 1024 (nbody.cu:403)
+    softening: float = 0.0                # eps in 1/(d^2+eps^2)^{3/2}; 0 = reference (Q4)
+    collision_mode: str = "reference"     # reference | momentum | elastic | none
+    boundary_mode: str = "reference"      # reference (Q6 accel*dt flip) | clamp | none
+    integrator: str = "euler"             # euler (semi-implicit, reference) | leapfrog
+    backend: str = "auto"                 # auto | jnp | pallas
+    shards: int = 1                       # devices to shard bodies over
+    scene: str = "uniform"                # uniform (reference) | galaxy | three_body
+    precision: str = "float32"            # float32 | bfloat16 (pair math)
+    checkpoint_every: int = 0             # 0 = disabled
+    checkpoint_path: str = "checkpoints"
+    resume_from: str = ""                 # checkpoint file to resume from
+    log_every: int = 1
+    log_path: str = ""                    # JSONL metrics path ("" = stdout only)
+    render_patch: int = 32                # static rasterizer patch edge (pixels)
+    save_images: bool = True
+
+    def validate(self) -> "SimConfig":
+        if self.particle_count <= 0:
+            raise ConfigError("particleCount must be positive")
+        if self.collision_mode not in ("reference", "momentum", "elastic", "none"):
+            raise ConfigError(f"unknown collisionMode {self.collision_mode!r}")
+        if self.boundary_mode not in ("reference", "clamp", "none"):
+            raise ConfigError(f"unknown boundaryMode {self.boundary_mode!r}")
+        if self.integrator not in ("euler", "leapfrog"):
+            raise ConfigError(f"unknown integrator {self.integrator!r}")
+        if self.backend not in ("auto", "jnp", "pallas"):
+            raise ConfigError(f"unknown backend {self.backend!r}")
+        if self.precision not in ("float32", "bfloat16"):
+            raise ConfigError(f"unknown precision {self.precision!r}")
+        return self
+
+
+# key -> (attribute, parser). Parsers emulate the per-key stoi/stof try blocks
+# of nbodyConfig.h:36-221.
+_KEYS = {
+    "particleCount": ("particle_count", _stoi),
+    "totalIterations": ("total_iterations", _stoi),
+    "save_Image_Every_Xth_Iteration": ("save_image_every", _stoi),
+    "timestep": ("timestep", _stof),
+    "minRandBodyMass": ("min_body_mass", _stof),
+    "maxRandBodyMass": ("max_body_mass", _stof),
+    "minRadius": ("min_radius", _stof),
+    "maxRadius": ("max_radius", _stof),
+    "radiusGrowthRate": ("growth_rate", _stof),
+    "imgWidth": ("img_width", _stoi),
+    "imgHeight": ("img_height", _stoi),
+    "fieldWidth": ("field_width", _stoi),
+    "fieldHeight": ("field_height", _stoi),
+    "imagePath": ("image_path", lambda s, k: s),
+    # framework extensions
+    "seed": ("seed", _stoi),
+    "softening": ("softening", _stof),
+    "collisionMode": ("collision_mode", lambda s, k: s.strip()),
+    "boundaryMode": ("boundary_mode", lambda s, k: s.strip()),
+    "integrator": ("integrator", lambda s, k: s.strip()),
+    "backend": ("backend", lambda s, k: s.strip()),
+    "shards": ("shards", _stoi),
+    "scene": ("scene", lambda s, k: s.strip()),
+    "precision": ("precision", lambda s, k: s.strip()),
+    "checkpointEvery": ("checkpoint_every", _stoi),
+    "checkpointPath": ("checkpoint_path", lambda s, k: s.strip()),
+    "resumeFrom": ("resume_from", lambda s, k: s.strip()),
+    "logEvery": ("log_every", _stoi),
+    "logPath": ("log_path", lambda s, k: s.strip()),
+    "renderPatch": ("render_patch", _stoi),
+    "saveImages": ("save_images", lambda s, k: s.strip().lower() not in ("0", "false", "no")),
+}
+
+
+def parse_config_text(text: str, *, verbose: bool = False,
+                      base: Optional[SimConfig] = None) -> SimConfig:
+    """Parse config file contents.
+
+    Line handling matches the reference parser loop (``nbodyConfig.h:33-225``):
+    split at the first ``=``; a line without ``=`` makes the whole line the
+    (unknown) key name, which is warn-ignored. Empty lines have empty key names
+    and are likewise warn-ignored by the reference; we silently skip fully
+    blank lines and ``#`` comments as a quality-of-life extension.
+    """
+    cfg = dataclasses.replace(base) if base is not None else SimConfig()
+    for raw in text.splitlines():
+        line = raw.rstrip("\r")
+        if not line.strip() or line.lstrip().startswith("#"):
+            continue
+        pos = line.find("=")
+        if pos < 0:
+            name, value = line, line  # substr(npos+1) == whole line in the reference
+        else:
+            name, value = line[:pos], line[pos + 1:]
+        entry = _KEYS.get(name)
+        if entry is None:
+            # nbodyConfig.h:222-224 — warn and ignore.
+            print(f"Invalid variable: {name}", file=sys.stderr)
+            continue
+        attr, parser = entry
+        setattr(cfg, attr, parser(value, name))
+        if verbose:
+            print(f"{name}={getattr(cfg, attr)}")
+    return cfg.validate()
+
+
+def parse_config_file(path: str, *, verbose: bool = False,
+                      base: Optional[SimConfig] = None) -> SimConfig:
+    """Parse a ``nbodyConfig.txt``-format file (``nbodyConfig.h:22-227``)."""
+    try:
+        with open(path, "r") as f:
+            text = f.read()
+    except OSError as e:
+        raise ConfigError(f"Error opening config file! ({path}): {e}") from e
+    return parse_config_text(text, verbose=verbose, base=base)
+
+
+def apply_overrides(cfg: SimConfig, overrides: list[str]) -> SimConfig:
+    """Apply ``--set key=value`` CLI overrides using the same key table."""
+    for item in overrides:
+        pos = item.find("=")
+        if pos < 0:
+            raise ConfigError(f"override {item!r} is not key=value")
+        name, value = item[:pos], item[pos + 1:]
+        entry = _KEYS.get(name)
+        if entry is None:
+            raise ConfigError(f"unknown config key {name!r}")
+        attr, parser = entry
+        setattr(cfg, attr, parser(value, name))
+    return cfg.validate()

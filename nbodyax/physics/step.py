@@ -1,0 +1,140 @@
+"""Full simulation step: forces -> collisions -> boundary -> integrate.
+
+TPU-native recomposition of the reference's per-iteration device work
+(``ComputeForces`` + ``MoveBodies``, /root/reference/src/nbody.cu:139-292) into
+one jit-compiled function over the fixed-capacity SimState pytree. The exact
+reference order of operations is preserved in reference mode
+(SURVEY.md section 3.2):
+
+1. pairwise accumulators from step-start state (nbody.cu:182-242);
+2. merge bookkeeping commits to mass/radius (nbody.cu:245-246,289-290);
+3. ``accel = G * force`` (nbody.cu:250, G = 6.67408e-11f);
+4. boundary bounce flips the *old* velocity where ``pos + accel*dt`` would
+   leave ``[-(field - r), field - r]`` per axis — quirk Q6: the displacement
+   probe uses accel*dt, not vel*dt, and the position is never clamped
+   (nbody.cu:256-261). The radius used is the *pre-merge* radius;
+5. ``vel' = flipped_vel + accel*dt`` (nbody.cu:264);
+6. ``pos' = pos + vel'*dt`` — semi-implicit Euler (nbody.cu:288).
+
+Alternatives (new, config-selectable): ``boundaryMode=clamp`` predicts with the
+real displacement ``vel'*dt`` and clamps positions into the field;
+``integrator=leapfrog`` runs kick-drift-kick with a second force pass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from nbodyax.physics.collisions import resolve_collisions
+from nbodyax.physics.pairwise import PairAccumulators, pair_accumulators
+from nbodyax.state import SimState
+
+__all__ = ["PhysicsParams", "make_step", "GRAV_CONSTANT"]
+
+GRAV_CONSTANT = jnp.float32(6.67408e-11)  # nbody.cu:37
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicsParams:
+    """Static physics configuration (hashable; closed over by the jitted step)."""
+
+    dt: float = 0.2
+    field_width: float = 100000.0
+    field_height: float = 100000.0
+    growth_rate: float = 0.1
+    eps: float = 0.0                      # softening; 0 = reference (Q4)
+    collision_mode: str = "reference"
+    boundary_mode: str = "reference"
+    integrator: str = "euler"
+
+    @classmethod
+    def from_config(cls, cfg) -> "PhysicsParams":
+        return cls(dt=float(jnp.float32(cfg.timestep)),
+                   field_width=float(cfg.field_width),
+                   field_height=float(cfg.field_height),
+                   growth_rate=float(jnp.float32(cfg.growth_rate)),
+                   eps=float(cfg.softening),
+                   collision_mode=cfg.collision_mode,
+                   boundary_mode=cfg.boundary_mode,
+                   integrator=cfg.integrator)
+
+
+AccumFn = Callable[..., PairAccumulators]
+
+
+def _boundary_flip(pos, vel, radius, probe_disp, p: PhysicsParams):
+    """Reflective boundary: flip velocity components where pos + probe_disp
+    would exit the per-axis interval [-(field - r), field - r]
+    (nbody.cu:256-261)."""
+    field = jnp.array([p.field_width, p.field_height], jnp.float32)
+    limit = field[None, :] - radius[:, None]
+    pred = pos + probe_disp
+    out = (pred > limit) | (pred < -limit)
+    return jnp.where(out, -vel, vel)
+
+
+def _clamp_positions(pos, radius, p: PhysicsParams):
+    field = jnp.array([p.field_width, p.field_height], jnp.float32)
+    limit = field[None, :] - radius[:, None]
+    return jnp.clip(pos, -limit, limit)
+
+
+def make_step(p: PhysicsParams,
+              accum_fn: Optional[AccumFn] = None,
+              chunk: Optional[int] = None) -> Callable[[SimState], SimState]:
+    """Build the jittable step function.
+
+    ``accum_fn(pos, vel, mass, radius) -> PairAccumulators`` selects the
+    all-pairs backend: the chunked jnp pass (default; the oracle), the Pallas
+    kernel (physics/kernels.py), or the cross-shard ring (sharding/ring.py).
+    """
+    if accum_fn is None:
+        accum_fn = partial(pair_accumulators, eps=p.eps,
+                           growth_rate=p.growth_rate, mode=p.collision_mode,
+                           chunk=chunk)
+    dt = jnp.float32(p.dt)
+
+    def kick(pos, vel, mass, radius):
+        """One force+collision pass; returns post-collision state and accel."""
+        acc = accum_fn(pos, vel, mass, radius)
+        pos2, vel2, mass2, radius2 = resolve_collisions(
+            pos, vel, mass, radius, acc, mode=p.collision_mode)
+        accel = acc.force * GRAV_CONSTANT
+        return pos2, vel2, mass2, radius2, accel
+
+    def euler_step(state: SimState) -> SimState:
+        pos, vel, mass, radius = state.pos, state.vel, state.mass, state.radius
+        pre_radius = radius  # boundary uses the pre-merge radius (nbody.cu:256)
+        pos2, vel2, mass2, radius2, accel = kick(pos, vel, mass, radius)
+        if p.boundary_mode == "reference":
+            vel2 = _boundary_flip(pos2, vel2, pre_radius, accel * dt, p)
+        new_vel = vel2 + accel * dt                       # nbody.cu:264
+        new_pos = pos2 + new_vel * dt                     # nbody.cu:288
+        if p.boundary_mode == "clamp":
+            probe = new_pos - pos2
+            new_vel = _boundary_flip(pos2, new_vel, radius2, probe, p)
+            new_pos = _clamp_positions(pos2 + new_vel * dt, radius2, p)
+        new_mass = mass2
+        return SimState(new_pos, new_vel, new_mass, radius2, state.step + 1)
+
+    def leapfrog_step(state: SimState) -> SimState:
+        """Kick-drift-kick with collision resolution at the first kick."""
+        pos, vel, mass, radius = state.pos, state.vel, state.mass, state.radius
+        pos2, vel2, mass2, radius2, accel = kick(pos, vel, mass, radius)
+        v_half = vel2 + accel * (dt / 2)
+        new_pos = pos2 + v_half * dt
+        acc2 = accum_fn(new_pos, v_half, mass2, radius2)
+        new_vel = v_half + acc2.force * GRAV_CONSTANT * (dt / 2)
+        if p.boundary_mode in ("reference", "clamp"):
+            new_vel = _boundary_flip(new_pos, new_vel, radius2,
+                                     new_vel * dt, p)
+            new_pos = _clamp_positions(new_pos, radius2, p)
+        return SimState(new_pos, new_vel, mass2, radius2, state.step + 1)
+
+    step = euler_step if p.integrator == "euler" else leapfrog_step
+    return jax.jit(step)

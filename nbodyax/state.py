@@ -1,0 +1,66 @@
+"""Simulation state pytree.
+
+TPU-native replacement for the reference's ``BodiesData`` contiguous SoA blob
+(``/root/reference/src/nbody.cu:47-124``). Instead of a host-owned allocation
+mirrored to the device with per-step PCIe round trips and host compaction
+(nbody.cu:476-510, quirk Q9 in SURVEY.md), state is a fixed-capacity JAX pytree
+that stays device-resident for the whole run. Dead bodies keep their slot with
+``mass == 0`` — the same in-band death marker the reference kernel writes
+(nbody.cu:245) — and are masked out of physics and rendering, so shapes stay
+static and nothing ever recompiles as bodies merge.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["SimState", "make_state", "alive_mask", "alive_count"]
+
+
+class SimState(NamedTuple):
+    """SoA body state. Leaves are device arrays; the tuple is a JAX pytree.
+
+    pos:    f32[N, 2]  positions (field coordinates, origin-centered)
+    vel:    f32[N, 2]  velocities
+    mass:   f32[N]     masses; 0 means the slot is dead (nbody.cu:245,489-494)
+    radius: f32[N]     radii
+    step:   i32[]      completed step count (for checkpoint/resume)
+    """
+
+    pos: jax.Array
+    vel: jax.Array
+    mass: jax.Array
+    radius: jax.Array
+    step: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.pos.shape[0]
+
+
+def make_state(pos, vel, mass, radius, step: int = 0) -> SimState:
+    return SimState(
+        pos=jnp.asarray(pos, jnp.float32),
+        vel=jnp.asarray(vel, jnp.float32),
+        mass=jnp.asarray(mass, jnp.float32),
+        radius=jnp.asarray(radius, jnp.float32),
+        step=jnp.asarray(step, jnp.int32),
+    )
+
+
+def alive_mask(state: SimState) -> jax.Array:
+    """bool[N] — which slots hold live bodies (mass != 0, nbody.cu:490)."""
+    return state.mass > 0
+
+
+def alive_count(state: SimState) -> int:
+    return int(jnp.sum(alive_mask(state)))
+
+
+def to_numpy(state: SimState):
+    """Host copies of all arrays (for checkpointing / inspection)."""
+    return {k: np.asarray(v) for k, v in state._asdict().items()}
