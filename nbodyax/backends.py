@@ -1,0 +1,42 @@
+"""Backend selection: which all-pairs engine computes the accumulators.
+
+- ``jnp``    — chunked dense pass (physics/pairwise.py). Runs anywhere; the
+               oracle. Default off-TPU.
+- ``pallas`` — fused Pallas TPU kernel (physics/kernels.py). Default on TPU.
+- sharded    — when shards > 1, the per-shard engine above is wrapped in the
+               ppermute ring (sharding/ring.py) by the driver.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+
+from nbodyax.physics.pairwise import pair_accumulators
+from nbodyax.physics.step import PhysicsParams
+
+
+def resolve_backend(name: str) -> str:
+    if name == "auto":
+        if jax.default_backend() == "tpu":
+            try:
+                import nbodyax.physics.kernels  # noqa: F401
+                return "pallas"
+            except ImportError:
+                return "jnp"
+        return "jnp"
+    return name
+
+
+def build_accum_fn(backend: str, p: PhysicsParams):
+    """Returns accum_fn(pos, vel, mass, radius) -> PairAccumulators."""
+    backend = resolve_backend(backend)
+    if backend == "jnp":
+        return partial(pair_accumulators, eps=p.eps, growth_rate=p.growth_rate,
+                       mode=p.collision_mode)
+    if backend == "pallas":
+        from nbodyax.physics.kernels import pallas_pair_accumulators
+        return partial(pallas_pair_accumulators, eps=p.eps,
+                       growth_rate=p.growth_rate, mode=p.collision_mode)
+    raise ValueError(f"unknown backend {backend!r}")

@@ -1,0 +1,111 @@
+"""Simulation driver: the analog of the reference's main() loop
+(/root/reference/src/nbody.cu:373-551), rebuilt for device-resident state.
+
+Reference loop per iteration: upload blob, ComputeForces, MoveBodies, download
+blob, host-compact dead bodies, save last frame, launch next frame render
+(two streams, frame one iteration behind). Here: state never leaves the
+device; steps run in jit; frames render on-device every k-th iteration and are
+written by a background thread; metrics and checkpoints at configurable
+cadence. No per-step allocation churn (quirk Q9 eliminated).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from nbodyax.backends import build_accum_fn, resolve_backend
+from nbodyax.config import SimConfig
+from nbodyax.io.checkpoint import load_checkpoint, save_checkpoint
+from nbodyax.metrics import JsonlLogger, StepMeter, conservation_scalars
+from nbodyax.physics.step import PhysicsParams, make_step
+from nbodyax.render import FrameWriter, render_state
+from nbodyax.scenes import init_scene
+from nbodyax.state import SimState
+
+__all__ = ["run_simulation", "RunResult", "build_step"]
+
+
+@dataclass
+class RunResult:
+    state: SimState
+    steps_per_sec: float
+    pairs_per_sec: float
+    wall_seconds: float
+    frames_written: int
+
+
+def build_step(cfg: SimConfig) -> Callable[[SimState], SimState]:
+    """Step function per config: physics params + backend (+ ring when
+    shards > 1)."""
+    p = PhysicsParams.from_config(cfg)
+    if cfg.shards > 1:
+        from nbodyax.sharding.ring import make_sharded_step
+        return make_sharded_step(cfg, p)
+    accum_fn = build_accum_fn(cfg.backend, p)
+    return make_step(p, accum_fn=accum_fn)
+
+
+def run_simulation(cfg: SimConfig, *, quiet: bool = False,
+                   state: Optional[SimState] = None,
+                   profile_dir: Optional[str] = None) -> RunResult:
+    t_start = time.perf_counter()  # analog of jbutil::gettime (nbody.cu:374)
+    logger = JsonlLogger(cfg.log_path, echo=not quiet)
+
+    if state is None:
+        if cfg.resume_from:
+            state = load_checkpoint(cfg.resume_from)
+            if not quiet:
+                print(f"Resumed from {cfg.resume_from} at step "
+                      f"{int(np.asarray(state.step))}")
+        else:
+            state = init_scene(cfg)
+    start_step = int(np.asarray(state.step))
+
+    step = build_step(cfg)
+    meter = StepMeter(capacity=state.capacity)
+    writer = FrameWriter(cfg.image_path) if cfg.save_images else None
+    frames = 0
+
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+    try:
+        for iteration in range(start_step, cfg.total_iterations):
+            # reference renders every k-th iteration's *pre-step* state
+            # (nbody.cu:529-538 renders after compaction, before the next
+            # ComputeForces)
+            if writer is not None and iteration % cfg.save_image_every == 0:
+                img = render_state(state, cfg)
+                writer.submit(iteration, img)   # async host write
+                frames += 1
+            meter.start()
+            state = step(state)
+            meter.stop(state)
+            if cfg.log_every and (iteration + 1) % cfg.log_every == 0:
+                scal = conservation_scalars(state)
+                logger.log(step=iteration + 1,
+                           wall_ms=meter.elapsed / meter.steps * 1e3,
+                           steps_per_sec=meter.steps_per_sec,
+                           pairs_per_sec=meter.pairs_per_sec,
+                           **scal)
+            if cfg.checkpoint_every and \
+                    (iteration + 1) % cfg.checkpoint_every == 0:
+                save_checkpoint(cfg.checkpoint_path, state)
+    finally:
+        if profile_dir:
+            jax.profiler.stop_trace()
+        if writer is not None:
+            writer.close()
+        logger.close()
+
+    jax.block_until_ready(state)
+    wall = time.perf_counter() - t_start
+    if not quiet:
+        print(f"Time taken: {wall:.4f}")  # same format as nbody.cu:548
+    return RunResult(state=state, steps_per_sec=meter.steps_per_sec,
+                     pairs_per_sec=meter.pairs_per_sec, wall_seconds=wall,
+                     frames_written=frames)

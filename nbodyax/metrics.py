@@ -1,0 +1,131 @@
+"""Metrics, conservation scalars, throughput meters, structured logging.
+
+The reference's only instruments are one end-to-end wall clock
+(/root/reference/src/nbody.cu:374,548) and hand-written FLOP annotations
+(nbody.cu:181-263). Here (SURVEY.md section 5): per-step structured scalars
+(alive count, total mass, momentum, energies) that double as conservation-test
+inputs, an interactions/sec meter with proper ``block_until_ready`` fencing,
+and JSONL logging.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+from typing import IO, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nbodyax.physics.step import GRAV_CONSTANT
+from nbodyax.state import SimState
+
+__all__ = ["conservation_scalars", "potential_energy", "StepMeter",
+           "JsonlLogger"]
+
+
+@jax.jit
+def conservation_scalars(state: SimState):
+    """Cheap per-step scalars: alive count, total mass, momentum, KE."""
+    alive = state.mass > 0
+    m = jnp.where(alive, state.mass, 0.0)
+    mom = jnp.sum(m[:, None] * state.vel, axis=0)
+    ke = 0.5 * jnp.sum(m * jnp.sum(state.vel * state.vel, axis=1))
+    return {
+        "alive": jnp.sum(alive).astype(jnp.int32),
+        "total_mass": jnp.sum(m),
+        "momentum_x": mom[0],
+        "momentum_y": mom[1],
+        "kinetic_energy": ke,
+    }
+
+
+@partial(jax.jit, static_argnames=("eps",))
+def potential_energy(state: SimState, eps: float = 0.0):
+    """O(N^2) pair potential  -G * sum_{i<j} m_i m_j / sqrt(d^2 + eps^2)
+    (matches the reference's m/d^2 force magnitude, nbody.cu:239).
+    Chunked like the force pass; intended for every-k-step logging."""
+    pos, mass = state.pos, state.mass
+    n = pos.shape[0]
+    chunk = max(8, min(n, (1 << 22) // max(n, 1)))
+    nchunks = -(-n // chunk)
+    npad = nchunks * chunk
+    pos_p = jnp.pad(pos, ((0, npad - n), (0, 0)))
+    mass_p = jnp.pad(mass, (0, npad - n))
+    idx = jax.lax.broadcasted_iota(jnp.int32, (npad, 1), 0).squeeze(-1)
+    eps2 = jnp.float32(eps) ** 2
+
+    def one(c):
+        s = c * chunk
+        pi = jax.lax.dynamic_slice_in_dim(pos_p, s, chunk)
+        mi = jax.lax.dynamic_slice_in_dim(mass_p, s, chunk)
+        ii = jax.lax.dynamic_slice_in_dim(idx, s, chunk)
+        dp = pos[None, :, :] - pi[:, None, :]
+        d2 = jnp.sum(dp * dp, -1) + eps2
+        valid = ((mi[:, None] > 0) & (mass[None, :] > 0)
+                 & (ii[:, None] != idx[None, :n]) & (d2 > 0))
+        inv = jnp.where(valid, jax.lax.rsqrt(jnp.where(valid, d2, 1.0)), 0.0)
+        return jnp.sum(mi[:, None] * mass[None, :] * inv)
+
+    total = jax.lax.map(one, jnp.arange(nchunks)).sum()
+    return -0.5 * GRAV_CONSTANT * total  # each pair counted twice
+
+
+class StepMeter:
+    """Wall-clock + throughput meter.
+
+    Interactions are counted like the reference's own accounting
+    (SURVEY.md section 6): N_capacity^2 pairs per step — the work the all-pairs
+    kernel actually performs, dead slots included (they occupy lanes).
+    """
+
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+        self.steps = 0
+        self.elapsed = 0.0
+        self._t0: Optional[float] = None
+
+    def start(self):
+        self._t0 = time.perf_counter()
+
+    def stop(self, result=None, steps: int = 1):
+        if result is not None:
+            jax.block_until_ready(result)
+        dt = time.perf_counter() - self._t0
+        self.steps += steps
+        self.elapsed += dt
+        return dt
+
+    @property
+    def steps_per_sec(self) -> float:
+        return self.steps / self.elapsed if self.elapsed else 0.0
+
+    @property
+    def pairs_per_sec(self) -> float:
+        return self.steps_per_sec * float(self.capacity) ** 2
+
+
+class JsonlLogger:
+    """One JSON object per line; stdout and/or file."""
+
+    def __init__(self, path: str = "", echo: bool = True):
+        self._fh: Optional[IO] = open(path, "a") if path else None
+        self._echo = echo
+
+    def log(self, **record):
+        def scalar(v):
+            if isinstance(v, (jax.Array, np.ndarray, np.generic)):
+                return np.asarray(v).item()
+            return v
+        line = json.dumps({k: scalar(v) for k, v in record.items()})
+        if self._echo:
+            print(line)
+        if self._fh:
+            self._fh.write(line + "\n")
+            self._fh.flush()
+
+    def close(self):
+        if self._fh:
+            self._fh.close()

@@ -29,6 +29,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nbodyax.physics.collisions import resolve_collisions
 from nbodyax.physics.pairwise import PairAccumulators, pair_accumulators
@@ -36,7 +37,8 @@ from nbodyax.state import SimState
 
 __all__ = ["PhysicsParams", "make_step", "GRAV_CONSTANT"]
 
-GRAV_CONSTANT = jnp.float32(6.67408e-11)  # nbody.cu:37
+# np (not jnp) scalar: importing this module must not initialize a JAX backend
+GRAV_CONSTANT = np.float32(6.67408e-11)  # nbody.cu:37
 
 
 @dataclasses.dataclass(frozen=True)

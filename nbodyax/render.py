@@ -1,0 +1,156 @@
+"""Frame rendering: rasterizer + PGM writer + async frame pipeline.
+
+TPU-native replacement for the reference's ``generateImage`` kernel and
+``saveImageToDisk`` (/root/reference/src/nbody.cu:294-371):
+
+- Pixel mapping is reference-exact: center pixel = C-truncation of
+  ``(p + field) / (2*field) * img`` (nbody.cu:318-319); pixel radius =
+  ``r * imgW / fieldW`` (nbody.cu:310); bounding box uses the reference's
+  clamp rules incl. the ``>= imgH`` / ``> imgW`` asymmetry (nbody.cu:323-326);
+  a pixel is painted to value 0 where ``dx^2 + dy^2 <= int(r_px^2)``
+  (nbody.cu:338) on a 254 background (the cudaMemsetAsync value,
+  nbody.cu:534).
+- Instead of one thread per body scanning its bbox, each live body scatters a
+  static PATCH x PATCH pixel window with a masked ``min`` — fixed shapes, one
+  fused XLA scatter, no races (min is associative; the reference writes a
+  constant 0 so min reproduces it exactly).
+- The reference's unguarded out-of-bounds reads (quirk Q5) are not reproduced.
+- Frames are written by a background host thread, preserving the reference's
+  render-one-frame-behind overlap (second CUDA stream + deferred save,
+  nbody.cu:512-539) without its latent race (Q7).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nbodyax.state import SimState
+
+__all__ = ["rasterize", "write_pgm", "FrameWriter", "pgm_bytes"]
+
+BACKGROUND = 254  # nbody.cu:534
+BODY = 0          # nbody.cu:344
+
+
+@partial(jax.jit, static_argnames=("img_width", "img_height", "field_width",
+                                   "field_height", "patch"))
+def rasterize(pos, mass, radius, *, img_width: int, img_height: int,
+              field_width: int, field_height: int, patch: int = 32):
+    """Render live bodies as filled discs. Returns uint8[img_height, img_width].
+
+    ``patch`` is the static scatter window edge; discs larger than the window
+    are cropped (cosmetic path — callers size it from max expected radius).
+    """
+    n = pos.shape[0]
+    fw2, fh2 = 2.0 * field_width, 2.0 * field_height
+
+    # centre pixel, C float->int truncation (nbody.cu:318-319)
+    cx = ((pos[:, 0] + field_width) / fw2 * img_width).astype(jnp.int32)
+    cy = ((pos[:, 1] + field_height) / fh2 * img_height).astype(jnp.int32)
+    r_px = radius * img_width / field_width            # nbody.cu:310
+
+    # reference bbox (nbody.cu:323-326): int truncation of centre +/- r_px,
+    # clamped; note >= for y_max but > for x_max, reproduced.
+    x_min = jnp.where(cx - r_px < 0, 0, (cx - r_px).astype(jnp.int32))
+    x_max = jnp.where(cx + r_px > img_width, img_width,
+                      (cx + r_px).astype(jnp.int32))
+    y_min = jnp.where(cy - r_px < 0, 0, (cy - r_px).astype(jnp.int32))
+    y_max = jnp.where(cy + r_px >= img_height, img_height,
+                      (cy + r_px).astype(jnp.int32))
+
+    # static patch window anchored at the (unclamped) bbox corner
+    ax = (cx - r_px).astype(jnp.int32)                 # trunc toward zero
+    ay = (cy - r_px).astype(jnp.int32)
+    off = jax.lax.broadcasted_iota(jnp.int32, (patch, patch), 0)
+    offx = jax.lax.broadcasted_iota(jnp.int32, (patch, patch), 1)
+    px = ax[:, None, None] + offx[None]                # [N,P,P]
+    py = ay[:, None, None] + off[None]
+
+    dx = px - cx[:, None, None]
+    dy = py - cy[:, None, None]
+    r2i = (r_px * r_px).astype(jnp.int32)              # int cast, nbody.cu:338
+    inside = (dx * dx + dy * dy) <= r2i[:, None, None]
+    in_box = ((px >= x_min[:, None, None]) & (px < x_max[:, None, None]) &
+              (py >= y_min[:, None, None]) & (py < y_max[:, None, None]))
+    paint = inside & in_box & (mass > 0)[:, None, None]
+
+    flat = py * img_width + px
+    # out-of-image or unpainted -> index out of range, dropped by scatter
+    flat = jnp.where(paint & (px >= 0) & (px < img_width) &
+                     (py >= 0) & (py < img_height),
+                     flat, img_width * img_height)
+    img = jnp.full((img_width * img_height,), BACKGROUND, jnp.uint8)
+    img = img.at[flat.reshape(-1)].min(jnp.uint8(BODY), mode="drop")
+    return img.reshape(img_height, img_width)
+
+
+def render_state(state: SimState, cfg) -> jax.Array:
+    return rasterize(state.pos, state.mass, state.radius,
+                     img_width=cfg.img_width, img_height=cfg.img_height,
+                     field_width=cfg.field_width, field_height=cfg.field_height,
+                     patch=cfg.render_patch)
+
+
+def pgm_bytes(img: np.ndarray) -> bytes:
+    """Binary P5 encoding, identical header layout to saveImageToDisk
+    (nbody.cu:359): ``P5\\n{W} {H}\\n255\\n`` + raw bytes."""
+    h, w = img.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img, dtype=np.uint8).tobytes()
+
+
+def write_pgm(path: str, img: np.ndarray) -> None:
+    with open(path, "wb") as f:
+        f.write(pgm_bytes(img))
+
+
+class FrameWriter:
+    """Asynchronous frame writer.
+
+    ``submit`` enqueues a device image; a daemon thread pulls it to host and
+    writes ``{image_path}/iteration_{i}.ppm`` — the reference's filename
+    pattern (nbody.cu:518; it writes P5 grayscale under a .ppm name, which we
+    preserve for drop-in compatibility). Rendering therefore overlaps the next
+    simulation steps, like the reference's second CUDA stream, but with a real
+    synchronization point (the queue) instead of quirk Q7's unfenced read.
+    """
+
+    def __init__(self, image_path: str, max_pending: int = 4):
+        self.image_path = image_path
+        os.makedirs(image_path, exist_ok=True)
+        self._q: "queue.Queue" = queue.Queue(maxsize=max_pending)
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            iteration, img = item
+            try:
+                write_pgm(os.path.join(self.image_path,
+                                       f"iteration_{iteration}.ppm"),
+                          np.asarray(img))
+            except BaseException as e:  # surfaced on close()
+                self._err = e
+
+    def submit(self, iteration: int, img: jax.Array) -> None:
+        if self._err is not None:
+            raise RuntimeError("frame writer failed") from self._err
+        self._q.put((iteration, img))
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._thread.join()
+        if self._err is not None:
+            raise RuntimeError("frame writer failed") from self._err

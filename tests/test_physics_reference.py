@@ -166,7 +166,7 @@ def test_chunking_invariance():
                 np.asarray(acc.force),
                 np.asarray(pair_accumulators(pos, vel, mass, radius, mode=mode,
                                              growth_rate=0.1, chunk=n).force),
-                rtol=1e-6)
+                rtol=1e-5, atol=1e-6)
             if mode == "reference":
                 base = pair_accumulators(pos, vel, mass, radius, mode=mode,
                                          growth_rate=0.1, chunk=n)
@@ -174,7 +174,7 @@ def test_chunking_invariance():
                                               np.asarray(base.died))
                 np.testing.assert_allclose(np.asarray(acc.gained_mass),
                                            np.asarray(base.gained_mass),
-                                           rtol=1e-6)
+                                           rtol=1e-6, atol=1e-6)
             if mode == "momentum":
                 base = pair_accumulators(pos, vel, mass, radius, mode=mode,
                                          growth_rate=0.1, chunk=n)

@@ -1,0 +1,67 @@
+"""Rasterizer and PGM writer tests against a scalar reimplementation of the
+reference's pixel math (/root/reference/src/nbody.cu:294-371)."""
+
+import numpy as np
+
+from nbodyax.render import BACKGROUND, pgm_bytes, rasterize, write_pgm
+
+
+def scalar_oracle(pos, mass, radius, img_w, img_h, field_w, field_h):
+    """Direct scalar translation of generateImage's loop semantics
+    (nbody.cu:309-347), used only as a test oracle."""
+    img = np.full((img_h, img_w), BACKGROUND, np.uint8)
+    for i in range(len(mass)):
+        if mass[i] <= 0:
+            continue
+        r_px = radius[i] * img_w / field_w
+        cx = int((pos[i, 0] + field_w) / (2 * field_w) * img_w)
+        cy = int((pos[i, 1] + field_h) / (2 * field_h) * img_h)
+        y_min = 0 if cy - r_px < 0 else int(cy - r_px)
+        y_max = img_h if cy + r_px >= img_h else int(cy + r_px)
+        x_min = 0 if cx - r_px < 0 else int(cx - r_px)
+        x_max = img_w if cx + r_px > img_w else int(cx + r_px)
+        for y in range(y_min, y_max):
+            for x in range(x_min, x_max):
+                if (x - cx) ** 2 + (y - cy) ** 2 <= int(r_px * r_px):
+                    img[y, x] = 0
+    return img
+
+
+def test_rasterize_matches_scalar_oracle():
+    rng = np.random.RandomState(1)
+    n, img, field = 40, 64, 1000
+    pos = rng.uniform(-field, field, (n, 2)).astype(np.float32)
+    mass = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    mass[::7] = 0.0  # dead slots must not render
+    radius = rng.uniform(5, 80, n).astype(np.float32)  # px radius up to ~2.5
+    got = np.asarray(rasterize(pos, mass, radius, img_width=img, img_height=img,
+                               field_width=field, field_height=field, patch=16))
+    want = scalar_oracle(pos, mass, radius, img, img, field, field)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_rasterize_offscreen_bodies_dropped():
+    pos = np.array([[5000.0, 0.0], [0.0, -5000.0]], np.float32)  # outside field
+    mass = np.ones(2, np.float32)
+    radius = np.full(2, 50.0, np.float32)
+    img = np.asarray(rasterize(pos, mass, radius, img_width=32, img_height=32,
+                               field_width=1000, field_height=1000, patch=16))
+    assert (img == BACKGROUND).all()
+
+
+def test_pgm_bytes_header_layout():
+    img = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    data = pgm_bytes(img)
+    # exact header layout of saveImageToDisk (nbody.cu:359)
+    assert data == b"P5\n3 2\n255\n" + bytes(range(6))
+
+
+def test_write_pgm_roundtrip(tmp_path):
+    img = np.full((4, 5), 200, np.uint8)
+    img[1, 2] = 0
+    path = tmp_path / "frame.ppm"
+    write_pgm(str(path), img)
+    raw = path.read_bytes()
+    assert raw.startswith(b"P5\n5 4\n255\n")
+    body = np.frombuffer(raw.split(b"255\n", 1)[1], np.uint8).reshape(4, 5)
+    np.testing.assert_array_equal(body, img)
