@@ -1,0 +1,277 @@
+"""Pallas TPU kernel: fused all-pairs gravity + collision pass.
+
+TPU-native rebuild of the reference's ``ComputeForces`` CUDA megakernel
+(/root/reference/src/nbody.cu:139-271). The mapping (SURVEY.md section 2.1):
+
+- CUDA thread-per-body grid + 128-wide shared-memory j-tiles
+  (nbody.cu:142,156-190) becomes a 2-D Pallas grid over (i-tile, j-tile): the
+  i-tile's features and its accumulator block stay resident in VMEM while
+  j-tiles stream through, double-buffered by the Pallas pipeline — the same
+  dataflow as the reference's rotating shared-memory tile sweep, minus its
+  mod-129 tail bug (Q2) and dropped-tail-bodies bug (Q3).
+- The per-pair semantics (overlap test, merge bookkeeping, force kernel,
+  self-skip) are exactly those of physics/pairwise.py — the oracle this kernel
+  is tested against.
+- All per-i reductions are packed into an 8-lane f32 accumulator row so one
+  [TILE_I, 8] output block accumulates across j-steps in VMEM.
+
+Design notes (why not the MXU ||a-b||^2 expansion): positions span the field
+(~1e5) while collision distances are ~1e2; computing d^2 = |pi|^2+|pj|^2-2pi.pj
+in f32 loses ~eps*|p|^2 ~ 6e2 absolute, corrupting the overlap test. The
+subtract-first VPU form (dx = xj - xi exact, then dx^2+dy^2) keeps full f32
+accuracy, and with ~20 VPU ops/pair the kernel is VPU-bound, which the MXU
+cannot lift anyway (reductions over the lane axis are cheap on the VPU; a
+[TI,TJ]x[TJ,3] MXU matmul pads its 3-wide output to 128 lanes and costs more
+than the ops it saves).
+
+Accumulator channel layout (one f32[N, 8] array):
+  ch0 fx, ch1 fy                              (all modes; additive)
+  ch2 gained_mass | dvx                       (reference | elastic; additive)
+  ch3 gained_radius | dvy                     (reference | elastic; additive)
+  ch4 died_count | cand_count                 (reference | momentum; additive,
+                                               decoded as >0)
+  ch5 best_mass                               (momentum; max-combined)
+  ch6 parent id as f32                        (momentum; combined with ch5)
+  ch7 unused
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nbodyax.physics.pairwise import PairAccumulators
+
+__all__ = ["pallas_pair_accumulators", "tile_accumulators_raw",
+           "body_features", "decode_raw", "DEFAULT_TILE_I", "DEFAULT_TILE_J"]
+
+NUM_FEATS = 8   # x, y, vx, vy, mass, radius, pad, pad
+NUM_CH = 8
+DEFAULT_TILE_I = 512   # tuned on v5e: sweep over (TI,TJ), 2026-08
+DEFAULT_TILE_J = 2048
+_NEG_INF = float(np.finfo(np.float32).min)  # sentinel for "no candidate"
+
+
+def body_features(pos, vel, mass, radius) -> jax.Array:
+    """Pack state into the kernel's [N, NUM_FEATS] i-side feature layout."""
+    n = pos.shape[0]
+    z = jnp.zeros((n,), jnp.float32)
+    return jnp.stack([pos[:, 0], pos[:, 1], vel[:, 0], vel[:, 1],
+                      mass, radius, z, z], axis=1)
+
+
+def _pair_kernel(ioff_ref, joff_ref, xi_ref, xj_ref, out_ref, *,
+                 mode: str, eps2: float, growth: float,
+                 tile_i: int, tile_j: int):
+    """One (i-tile, j-tile) visit. xi: [TI, F] body rows; xj: [F, TJ] body
+    columns (pre-transposed on the host side so no in-kernel transposes are
+    needed); out: [TI, NUM_CH] accumulator rows, revisited across j."""
+    jstep = pl.program_id(1)
+
+    # i-side columns [TI, 1]
+    xi = xi_ref[:, 0:1]
+    yi = xi_ref[:, 1:2]
+    mi = xi_ref[:, 4:5]
+    ri = xi_ref[:, 5:6]
+    # j-side rows [1, TJ]
+    xj = xj_ref[0:1, :]
+    yj = xj_ref[1:2, :]
+    mj = xj_ref[4:5, :]
+    rj = xj_ref[5:6, :]
+
+    # global body ids (offsets make the same kernel serve ring hops)
+    i_ids = (ioff_ref[0, 0] + pl.program_id(0) * tile_i
+             + lax.broadcasted_iota(jnp.int32, (tile_i, 1), 0))
+    j_ids = (joff_ref[0, 0] + jstep * tile_j
+             + lax.broadcasted_iota(jnp.int32, (1, tile_j), 1))
+
+    dx = xj - xi                           # [TI, TJ]
+    dy = yj - yi
+    d2 = dx * dx + dy * dy
+    rsum = ri + rj
+    valid = (mi > 0) & (mj > 0) & (i_ids != j_ids)
+    overlap = (d2 <= rsum * rsum) & valid  # nbody.cu:133
+
+    fmask = valid if mode == "elastic" else (valid & ~overlap)
+    inv = lax.rsqrt(d2 + eps2)
+    w = jnp.where(fmask, mj * (inv * inv * inv), 0.0)
+    fx = jnp.sum(w * dx, axis=1, keepdims=True)
+    fy = jnp.sum(w * dy, axis=1, keepdims=True)
+
+    zcol = jnp.zeros((tile_i, 1), jnp.float32)
+    ch2 = ch3 = ch4 = zcol
+    ch5 = jnp.full((tile_i, 1), _NEG_INF)
+    ch6 = i_ids.astype(jnp.float32)
+
+    if mode == "reference":
+        heavier = mi >= mj                 # nbody.cu:215 (>=: quirk Q1)
+        merge = overlap & heavier
+        ch2 = jnp.sum(jnp.where(merge, mj, 0.0), axis=1, keepdims=True)
+        ch3 = jnp.sum(jnp.where(merge, rj * growth, 0.0), axis=1, keepdims=True)
+        ch4 = jnp.sum(jnp.where(overlap & ~heavier, 1.0, 0.0), axis=1,
+                      keepdims=True)
+    elif mode == "momentum":
+        beats = (mj > mi) | ((mj == mi) & (j_ids < i_ids))
+        cand = overlap & beats
+        key = jnp.where(cand, mj, _NEG_INF)
+        bm = jnp.max(key, axis=1, keepdims=True)
+        any_cand = bm > _NEG_INF
+        # tie-break equal best mass toward the lowest global j id
+        jf = j_ids.astype(jnp.float32)
+        order = jnp.where(cand & (key == bm), -jf, _NEG_INF)
+        best_j = -jnp.max(order, axis=1, keepdims=True)
+        ch4 = jnp.sum(jnp.where(cand, 1.0, 0.0), axis=1, keepdims=True)
+        ch5 = jnp.where(any_cand, bm, _NEG_INF)
+        ch6 = jnp.where(any_cand, best_j, ch6)
+    elif mode == "elastic":
+        vxi, vyi = xi_ref[:, 2:3], xi_ref[:, 3:4]
+        vxj, vyj = xj_ref[2:3, :], xj_ref[3:4, :]
+        vdotp = (vxj - vxi) * dx + (vyj - vyi) * dy
+        approaching = overlap & (vdotp < 0) & (d2 > 0)
+        coef = jnp.where(approaching,
+                         2.0 * mj / (mi + mj) * vdotp
+                         / jnp.where(d2 > 0, d2, 1.0),
+                         0.0)
+        ch2 = jnp.sum(coef * dx, axis=1, keepdims=True)
+        ch3 = jnp.sum(coef * dy, axis=1, keepdims=True)
+
+    block = jnp.concatenate([fx, fy, ch2, ch3, ch4, ch5, ch6, zcol], axis=1)
+
+    @pl.when(jstep == 0)
+    def _():
+        out_ref[:] = block
+
+    @pl.when(jstep > 0)
+    def _():
+        prev = out_ref[:]
+        add = prev[:, 0:5] + block[:, 0:5]
+        if mode == "momentum":
+            old_bm, old_par = prev[:, 5:6], prev[:, 6:7]
+            new_bm, new_par = block[:, 5:6], block[:, 6:7]
+            win = (new_bm > old_bm) | ((new_bm == old_bm) & (new_par < old_par))
+            tail = jnp.concatenate([jnp.maximum(old_bm, new_bm),
+                                    jnp.where(win, new_par, old_par),
+                                    prev[:, 7:8]], axis=1)
+        else:
+            tail = prev[:, 5:8]
+        out_ref[:] = jnp.concatenate([add, tail], axis=1)
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "eps", "growth_rate", "tile_i", "tile_j",
+                     "interpret"))
+def tile_accumulators_raw(feats_i, feats_j_t, i_offset, j_offset, *,
+                          mode: str, eps: float, growth_rate: float,
+                          tile_i: int = DEFAULT_TILE_I,
+                          tile_j: int = DEFAULT_TILE_J,
+                          interpret: Optional[bool] = None) -> jax.Array:
+    """Raw channel accumulators of i bodies against j bodies.
+
+    feats_i: f32[Ni, NUM_FEATS] (rows); feats_j_t: f32[NUM_FEATS, Nj]
+    (pre-transposed columns). i_offset/j_offset: global index of row/column 0
+    (scalars; dynamic so ring hops don't retrace). Returns f32[Ni, NUM_CH].
+    """
+    ni, nj = feats_i.shape[0], feats_j_t.shape[1]
+    tile_i = min(tile_i, max(8, ni))
+    tile_j = min(tile_j, max(128, nj))
+    ni_pad = -(-ni // tile_i) * tile_i
+    nj_pad = -(-nj // tile_j) * tile_j
+    feats_i = _pad_to(feats_i, ni_pad, 0)       # pad rows: mass 0 => dead
+    feats_j_t = _pad_to(feats_j_t, nj_pad, 1)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    grid = (ni_pad // tile_i, nj_pad // tile_j)
+    kernel = functools.partial(
+        _pair_kernel, mode=mode, eps2=float(eps) ** 2,
+        growth=float(np.float32(growth_rate)), tile_i=tile_i, tile_j=tile_j)
+
+    flops_per_pair = 22 if mode != "none" else 14
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),   # i_offset
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),   # j_offset
+            pl.BlockSpec((tile_i, NUM_FEATS), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NUM_FEATS, tile_j), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_i, NUM_CH), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ni_pad, NUM_CH), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_pair * ni_pad * nj_pad,
+            bytes_accessed=(ni_pad * NUM_FEATS * 4
+                            + grid[0] * nj_pad * NUM_FEATS * 4
+                            + ni_pad * NUM_CH * 4),
+            transcendentals=ni_pad * nj_pad),
+        interpret=interpret,
+    )(jnp.asarray(i_offset, jnp.int32).reshape(1, 1),
+      jnp.asarray(j_offset, jnp.int32).reshape(1, 1),
+      feats_i, feats_j_t)
+    return out[:ni]
+
+
+def decode_raw(raw, i_offset, mode: str) -> PairAccumulators:
+    """Unpack the channel block into PairAccumulators (see module docstring)."""
+    n = raw.shape[0]
+    ids = (jnp.asarray(i_offset, jnp.int32)
+           + lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1))
+    force = raw[:, 0:2]
+    z = jnp.zeros((n,), jnp.float32)
+    gm = gr = z
+    died = jnp.zeros((n,), bool)
+    best_mass = jnp.full((n,), -jnp.inf, jnp.float32)
+    parent = ids
+    dv = jnp.zeros((n, 2), jnp.float32)
+    if mode == "reference":
+        gm, gr = raw[:, 2], raw[:, 3]
+        died = raw[:, 4] > 0
+    elif mode == "momentum":
+        any_cand = raw[:, 4] > 0
+        best_mass = jnp.where(any_cand, raw[:, 5], -jnp.inf)
+        parent = jnp.where(any_cand, raw[:, 6].astype(jnp.int32), ids)
+    elif mode == "elastic":
+        dv = raw[:, 2:4]
+    return PairAccumulators(force=force, gained_mass=gm, gained_radius=gr,
+                            died=died, best_mass=best_mass, parent=parent,
+                            dv=dv)
+
+
+def pallas_pair_accumulators(pos, vel, mass, radius, *, eps: float = 0.0,
+                             growth_rate: float = 0.1,
+                             mode: str = "reference",
+                             tile_i: int = DEFAULT_TILE_I,
+                             tile_j: int = DEFAULT_TILE_J,
+                             interpret: Optional[bool] = None
+                             ) -> PairAccumulators:
+    """Drop-in Pallas replacement for physics.pairwise.pair_accumulators."""
+    if mode == "elastic" and (tile_i, tile_j) == (DEFAULT_TILE_I,
+                                                  DEFAULT_TILE_J):
+        tile_i, tile_j = 256, 2048  # elastic has more live temps; 512x2048 OOMs VMEM
+    feats = body_features(pos, vel, mass, radius)
+    raw = tile_accumulators_raw(feats, feats.T, 0, 0, mode=mode, eps=eps,
+                                growth_rate=growth_rate, tile_i=tile_i,
+                                tile_j=tile_j, interpret=interpret)
+    return decode_raw(raw, 0, mode)
