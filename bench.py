@@ -1,0 +1,66 @@
+"""Headline benchmark: pairwise interactions/sec/chip at N=1M, collisions on.
+
+BASELINE config 4: single-chip Pallas tiled all-pairs with the fused
+reference-mode collision pass. Target (BASELINE.md): >= 1e11 pairs/s per v5e
+chip. Prints ONE JSON line.
+
+Timing notes: the throughput is measured over the FULL jitted step (pair pass
++ collision commit + boundary + integration), not just the kernel, with a host
+scalar fetch as the synchronization point (on the axon relay,
+block_until_ready returns before execution completes; a device->host value
+dependency is the only reliable fence).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from nbodyax.backends import build_accum_fn
+    from nbodyax.config import SimConfig
+    from nbodyax.physics.step import PhysicsParams, make_step
+    from nbodyax.scenes import init_scene
+
+    on_tpu = jax.default_backend() == "tpu"
+    n = 1_048_576 if on_tpu else 4096
+    reps = 1 if on_tpu else 2
+
+    cfg = SimConfig(particle_count=n, collision_mode="reference",
+                    backend="auto")
+    p = PhysicsParams.from_config(cfg)
+    step_inner = make_step(p, accum_fn=build_accum_fn(cfg.backend, p))
+
+    @jax.jit
+    def step_probe(state):
+        out = step_inner(state)
+        # scalar the host can fetch to fence on full-step completion
+        return out, out.pos[0, 0] + out.vel[0, 0] + out.mass[0]
+
+    state = init_scene(cfg, parity=False)
+    state, probe = step_probe(state)
+    _ = float(probe)  # warmup + compile fence
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, probe = step_probe(state)
+        _ = float(probe)
+    dt = (time.perf_counter() - t0) / reps
+
+    pairs_per_sec = float(n) * float(n) / dt
+    print(json.dumps({
+        "metric": "pairwise_interactions_per_sec_per_chip_N1M_collisions_on",
+        "value": pairs_per_sec,
+        "unit": "pairs/s",
+        "vs_baseline": pairs_per_sec / 1e11,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -66,6 +66,13 @@ def run_simulation(cfg: SimConfig, *, quiet: bool = False,
             state = init_scene(cfg)
     start_step = int(np.asarray(state.step))
 
+    if cfg.shards > 1:
+        from nbodyax.sharding.mesh import (make_mesh, maybe_init_distributed,
+                                           pad_to_shards, shard_state)
+        maybe_init_distributed()
+        mesh = make_mesh(cfg.shards)
+        state = shard_state(pad_to_shards(state, cfg.shards), mesh)
+
     step = build_step(cfg)
     meter = StepMeter(capacity=state.capacity)
     writer = FrameWriter(cfg.image_path) if cfg.save_images else None

@@ -1,0 +1,170 @@
+"""Ring all-gather step: every shard sees all N bodies via ppermute hops.
+
+The distributed generalization of the reference's rotating shared-memory tile
+schedule — tile k for thread t starts at ``(t + 128k) mod N``
+(/root/reference/src/nbody.cu:186) — lifted from CUDA thread blocks to mesh
+devices: each shard keeps its resident i-bodies and accumulators; the j-tile
+(pos/vel/mass/radius + its global offset) circulates around the ICI ring with
+``lax.ppermute``. After P hops every shard has folded all N bodies into its
+accumulators, exactly the ring-attention dataflow with (pos, mass, radius) in
+the KV role and force/merge partial sums as the running state (SURVEY.md
+section 2.2/5). Because every accumulator is associative (pairwise.py), hop
+order doesn't matter beyond f32 rounding.
+
+The next tile's ppermute is issued before the current tile's compute so XLA's
+async collectives overlap communication with the O((N/P)^2 * N) pair math.
+
+Merge resolution:
+- reference / elastic / none: purely local per-i given the accumulators.
+- momentum: merge trees span shards, so the per-body parent pointers (plus the
+  state needed for the conserving update) are all-gathered, resolved
+  replicated (pointer doubling is O(N log N), negligible next to O(N^2/P)
+  pair math), and the local slice extracted.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from nbodyax.config import SimConfig
+from nbodyax.physics.collisions import resolve_collisions
+from nbodyax.physics.pairwise import (PairAccumulators, combine_accumulators,
+                                      empty_accumulators,
+                                      pair_accumulators_chunk)
+from nbodyax.physics.step import GRAV_CONSTANT, PhysicsParams
+from nbodyax.sharding.mesh import AXIS, make_mesh
+from nbodyax.state import SimState
+
+__all__ = ["ring_accumulators", "make_sharded_step", "make_local_accum_fn"]
+
+
+def make_local_accum_fn(backend: str, p: PhysicsParams):
+    """(pi, vi, mi, ri, i_off, pos_j, vel_j, mass_j, radius_j, j_off) ->
+    PairAccumulators for the local i bodies against one j tile."""
+    from nbodyax.backends import resolve_backend
+    backend = resolve_backend(backend)
+
+    if backend == "pallas":
+        from nbodyax.physics.kernels import (body_features, decode_raw,
+                                             tile_accumulators_raw)
+
+        def accum(pi, vi, mi, ri, i_off, pj, vj, mj, rj, j_off):
+            fi = body_features(pi, vi, mi, ri)
+            fj = body_features(pj, vj, mj, rj).T
+            raw = tile_accumulators_raw(fi, fj, i_off, j_off,
+                                        mode=p.collision_mode, eps=p.eps,
+                                        growth_rate=p.growth_rate)
+            return decode_raw(raw, i_off, p.collision_mode)
+        return accum
+
+    def accum(pi, vi, mi, ri, i_off, pj, vj, mj, rj, j_off):
+        n_i, n_j = pi.shape[0], pj.shape[0]
+        ii = jnp.asarray(i_off, jnp.int32) + lax.broadcasted_iota(
+            jnp.int32, (n_i, 1), 0).squeeze(-1)
+        jj = jnp.asarray(j_off, jnp.int32) + lax.broadcasted_iota(
+            jnp.int32, (n_j, 1), 0).squeeze(-1)
+        return pair_accumulators_chunk(
+            pi, vi, mi, ri, ii, pj, vj, mj, rj, jj,
+            eps2=jnp.float32(p.eps) ** 2,
+            growth_rate=jnp.float32(p.growth_rate), mode=p.collision_mode)
+    return accum
+
+
+def ring_accumulators(pos, vel, mass, radius, *, n_shards: int,
+                      accum_fn: Callable) -> PairAccumulators:
+    """Inside shard_map: fold all remote j tiles into local i accumulators.
+
+    Arguments are the *local* shard arrays [N/P, ...]. Returns local-i
+    accumulators identical (up to f32 rounding) to the single-device pass.
+    """
+    n_local = pos.shape[0]
+    me = lax.axis_index(AXIS)
+    i_off = me * n_local
+
+    acc = empty_accumulators(
+        i_off + lax.broadcasted_iota(jnp.int32, (n_local, 1), 0).squeeze(-1))
+    # circulate (j data, j offset) to the next device each hop:
+    # after hop h, we hold the tile of shard (me - h) mod P
+    perm = [((s + 1) % n_shards, s) for s in range(n_shards)]
+    tile = (pos, vel, mass, radius, jnp.asarray(i_off, jnp.int32))
+    for hop in range(n_shards):
+        if hop + 1 < n_shards:
+            next_tile = jax.tree.map(lambda t: lax.ppermute(t, AXIS, perm),
+                                     tile)
+        else:
+            next_tile = tile
+        pj, vj, mj, rj, j_off = tile
+        acc = combine_accumulators(
+            acc, accum_fn(pos, vel, mass, radius, i_off, pj, vj, mj, rj, j_off))
+        tile = next_tile
+    return acc
+
+
+def make_sharded_step(cfg: SimConfig, p: PhysicsParams,
+                      mesh: Mesh = None) -> Callable[[SimState], SimState]:
+    """jit-compiled full step over a sharded SimState (euler integrator).
+
+    Physics order matches physics/step.py's euler_step exactly; the only
+    difference is where the pair accumulators come from (the ring) and that
+    momentum-mode merge resolution all-gathers.
+    """
+    if mesh is None:
+        mesh = make_mesh(cfg.shards)
+    n_shards = mesh.devices.size
+    accum_fn = make_local_accum_fn(cfg.backend, p)
+    dt = jnp.float32(p.dt)
+
+    def local_step(pos, vel, mass, radius):
+        from nbodyax.physics.step import _boundary_flip, _clamp_positions
+
+        acc = ring_accumulators(pos, vel, mass, radius, n_shards=n_shards,
+                                accum_fn=accum_fn)
+
+        if p.collision_mode == "momentum":
+            # merge trees cross shards: resolve replicated on gathered arrays
+            g = lambda x: lax.all_gather(x, AXIS, tiled=True)
+            pos_g, vel_g = g(pos), g(vel)
+            mass_g, radius_g = g(mass), g(radius)
+            acc_g = jax.tree.map(g, acc)
+            pos2_g, vel2_g, mass2_g, radius2_g = resolve_collisions(
+                pos_g, vel_g, mass_g, radius_g, acc_g, mode="momentum")
+            me = lax.axis_index(AXIS)
+            n_local = pos.shape[0]
+            sl = lambda x: lax.dynamic_slice_in_dim(x, me * n_local, n_local)
+            pos2, vel2 = sl(pos2_g), sl(vel2_g)
+            mass2, radius2 = sl(mass2_g), sl(radius2_g)
+        else:
+            pos2, vel2, mass2, radius2 = resolve_collisions(
+                pos, vel, mass, radius, acc, mode=p.collision_mode)
+
+        accel = acc.force * GRAV_CONSTANT
+        pre_radius = radius
+        if p.boundary_mode == "reference":
+            vel2 = _boundary_flip(pos2, vel2, pre_radius, accel * dt, p)
+        new_vel = vel2 + accel * dt
+        new_pos = pos2 + new_vel * dt
+        if p.boundary_mode == "clamp":
+            probe = new_pos - pos2
+            new_vel = _boundary_flip(pos2, new_vel, radius2, probe, p)
+            new_pos = _clamp_positions(pos2 + new_vel * dt, radius2, p)
+        return new_pos, new_vel, mass2, radius2
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        check_vma=False)
+
+    @jax.jit
+    def step(state: SimState) -> SimState:
+        pos, vel, mass, radius = sharded(state.pos, state.vel, state.mass,
+                                         state.radius)
+        return SimState(pos, vel, mass, radius, state.step + 1)
+
+    return step
