@@ -54,17 +54,25 @@ __all__ = ["pallas_pair_accumulators", "tile_accumulators_raw",
 
 NUM_FEATS = 8   # x, y, vx, vy, mass, radius, pad, pad
 NUM_CH = 8
-DEFAULT_TILE_I = 512   # tuned on v5e: sweep over (TI,TJ), 2026-08
+DEFAULT_TILE_I = 1024  # tuned on v5e: sweep over (TI,TJ), 2026-08
 DEFAULT_TILE_J = 2048
 _NEG_INF = float(np.finfo(np.float32).min)  # sentinel for "no candidate"
 
 
 def body_features(pos, vel, mass, radius) -> jax.Array:
-    """Pack state into the kernel's [N, NUM_FEATS] i-side feature layout."""
+    """Pack state into the kernel's [N, NUM_FEATS] i-side feature layout.
+
+    Dead bodies (mass <= 0) get radius 0 here. With that, every inner-loop
+    contribution of a dead or padded j body vanishes without explicit alive
+    masks — force/merge-gain/elastic all carry an m_j factor, die needs
+    m_j > m_i >= 0, and the only mass-free channel (gained radius,
+    nbody.cu:219) is zeroed by this clamp. Saves ~3 VPU ops/pair in the
+    kernel's hot loop.
+    """
     n = pos.shape[0]
     z = jnp.zeros((n,), jnp.float32)
     return jnp.stack([pos[:, 0], pos[:, 1], vel[:, 0], vel[:, 1],
-                      mass, radius, z, z], axis=1)
+                      mass, jnp.where(mass > 0, radius, 0.0), z, z], axis=1)
 
 
 def _pair_kernel(ioff_ref, joff_ref, xi_ref, xj_ref, out_ref, *,
@@ -96,12 +104,26 @@ def _pair_kernel(ioff_ref, joff_ref, xi_ref, xj_ref, out_ref, *,
     dy = yj - yi
     d2 = dx * dx + dy * dy
     rsum = ri + rj
-    valid = (mi > 0) & (mj > 0) & (i_ids != j_ids)
-    overlap = (d2 <= rsum * rsum) & valid  # nbody.cu:133
+    # overlap_raw includes self-pairs (d2=0 <= rsum^2) and any overlap with a
+    # dead body (dead radius is clamped to 0 in body_features, so only when
+    # the live body's own disc covers the dead slot's position). Both are
+    # exactly the pairs that must not contribute force, so the force path
+    # needs no alive/self masks at all; notself is only needed for the
+    # collision channels.
+    overlap_raw = d2 <= rsum * rsum        # nbody.cu:133
+    notself = i_ids != j_ids
+    overlap = overlap_raw & notself
 
-    fmask = valid if mode == "elastic" else (valid & ~overlap)
-    inv = lax.rsqrt(d2 + eps2)
-    w = jnp.where(fmask, mj * (inv * inv * inv), 0.0)
+    d2e = d2 if eps2 == 0.0 else d2 + eps2
+    inv = lax.rsqrt(d2e)
+    wm = mj * (inv * inv * inv)            # m_j factor zeroes dead-j pairs
+    if mode == "elastic":
+        # gravity acts on overlapping pairs too; only the d2=0 singularities
+        # (self / exactly coincident, which contribute 0 force anyway via
+        # dx=dy=0) must be kept out of the rsqrt result.
+        w = jnp.where(d2 > 0, wm, 0.0)
+    else:
+        w = jnp.where(overlap_raw, 0.0, wm)
     fx = jnp.sum(w * dx, axis=1, keepdims=True)
     fy = jnp.sum(w * dy, axis=1, keepdims=True)
 
@@ -219,7 +241,10 @@ def tile_accumulators_raw(feats_i, feats_j_t, i_offset, j_offset, *,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ni_pad, NUM_CH), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            # default scoped limit (16M) is conservative; the 512x2048 tiles
+            # need ~17-25M of stack across double-buffered temporaries
+            vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_pair * ni_pad * nj_pad,
             bytes_accessed=(ni_pad * NUM_FEATS * 4
@@ -233,12 +258,17 @@ def tile_accumulators_raw(feats_i, feats_j_t, i_offset, j_offset, *,
     return out[:ni]
 
 
-def decode_raw(raw, i_offset, mode: str) -> PairAccumulators:
-    """Unpack the channel block into PairAccumulators (see module docstring)."""
+def decode_raw(raw, i_offset, mass_i, mode: str) -> PairAccumulators:
+    """Unpack the channel block into PairAccumulators (see module docstring).
+
+    The hot loop carries no alive-i masks (dead-i rows compute junk); they are
+    zeroed here, once per i body, to match the oracle exactly.
+    """
     n = raw.shape[0]
+    alive = mass_i > 0
     ids = (jnp.asarray(i_offset, jnp.int32)
            + lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1))
-    force = raw[:, 0:2]
+    force = jnp.where(alive[:, None], raw[:, 0:2], 0.0)
     z = jnp.zeros((n,), jnp.float32)
     gm = gr = z
     died = jnp.zeros((n,), bool)
@@ -246,14 +276,15 @@ def decode_raw(raw, i_offset, mode: str) -> PairAccumulators:
     parent = ids
     dv = jnp.zeros((n, 2), jnp.float32)
     if mode == "reference":
-        gm, gr = raw[:, 2], raw[:, 3]
-        died = raw[:, 4] > 0
+        gm = jnp.where(alive, raw[:, 2], 0.0)
+        gr = jnp.where(alive, raw[:, 3], 0.0)
+        died = (raw[:, 4] > 0) & alive
     elif mode == "momentum":
-        any_cand = raw[:, 4] > 0
+        any_cand = (raw[:, 4] > 0) & alive
         best_mass = jnp.where(any_cand, raw[:, 5], -jnp.inf)
         parent = jnp.where(any_cand, raw[:, 6].astype(jnp.int32), ids)
     elif mode == "elastic":
-        dv = raw[:, 2:4]
+        dv = jnp.where(alive[:, None], raw[:, 2:4], 0.0)
     return PairAccumulators(force=force, gained_mass=gm, gained_radius=gr,
                             died=died, best_mass=best_mass, parent=parent,
                             dv=dv)
@@ -267,11 +298,8 @@ def pallas_pair_accumulators(pos, vel, mass, radius, *, eps: float = 0.0,
                              interpret: Optional[bool] = None
                              ) -> PairAccumulators:
     """Drop-in Pallas replacement for physics.pairwise.pair_accumulators."""
-    if mode == "elastic" and (tile_i, tile_j) == (DEFAULT_TILE_I,
-                                                  DEFAULT_TILE_J):
-        tile_i, tile_j = 256, 2048  # elastic has more live temps; 512x2048 OOMs VMEM
     feats = body_features(pos, vel, mass, radius)
     raw = tile_accumulators_raw(feats, feats.T, 0, 0, mode=mode, eps=eps,
                                 growth_rate=growth_rate, tile_i=tile_i,
                                 tile_j=tile_j, interpret=interpret)
-    return decode_raw(raw, 0, mode)
+    return decode_raw(raw, 0, mass, mode)

@@ -121,8 +121,13 @@ def make_step(p: PhysicsParams,
             probe = new_pos - pos2
             new_vel = _boundary_flip(pos2, new_vel, radius2, probe, p)
             new_pos = _clamp_positions(pos2 + new_vel * dt, radius2, p)
-        new_mass = mass2
-        return SimState(new_pos, new_vel, new_mass, radius2, state.step + 1)
+        # freeze dead slots: the reference removes them outright
+        # (nbody.cu:488-510); freezing is the fixed-capacity analog and keeps
+        # their stale coordinates from drifting toward overflow over long runs
+        alive = (mass2 > 0)[:, None]
+        new_vel = jnp.where(alive, new_vel, 0.0)
+        new_pos = jnp.where(alive, new_pos, pos2)
+        return SimState(new_pos, new_vel, mass2, radius2, state.step + 1)
 
     def leapfrog_step(state: SimState) -> SimState:
         """Kick-drift-kick with collision resolution at the first kick."""
@@ -136,6 +141,9 @@ def make_step(p: PhysicsParams,
             new_vel = _boundary_flip(new_pos, new_vel, radius2,
                                      new_vel * dt, p)
             new_pos = _clamp_positions(new_pos, radius2, p)
+        alive = (mass2 > 0)[:, None]
+        new_vel = jnp.where(alive, new_vel, 0.0)
+        new_pos = jnp.where(alive, new_pos, pos2)
         return SimState(new_pos, new_vel, mass2, radius2, state.step + 1)
 
     step = euler_step if p.integrator == "euler" else leapfrog_step

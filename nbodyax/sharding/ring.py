@@ -60,7 +60,7 @@ def make_local_accum_fn(backend: str, p: PhysicsParams):
             raw = tile_accumulators_raw(fi, fj, i_off, j_off,
                                         mode=p.collision_mode, eps=p.eps,
                                         growth_rate=p.growth_rate)
-            return decode_raw(raw, i_off, p.collision_mode)
+            return decode_raw(raw, i_off, mi, p.collision_mode)
         return accum
 
     def accum(pi, vi, mi, ri, i_off, pj, vj, mj, rj, j_off):
@@ -153,6 +153,10 @@ def make_sharded_step(cfg: SimConfig, p: PhysicsParams,
             probe = new_pos - pos2
             new_vel = _boundary_flip(pos2, new_vel, radius2, probe, p)
             new_pos = _clamp_positions(pos2 + new_vel * dt, radius2, p)
+        # freeze dead slots (see physics/step.py)
+        alive = (mass2 > 0)[:, None]
+        new_vel = jnp.where(alive, new_vel, 0.0)
+        new_pos = jnp.where(alive, new_pos, pos2)
         return new_pos, new_vel, mass2, radius2
 
     sharded = jax.shard_map(

@@ -86,8 +86,8 @@ def test_kernel_offset_partition_equals_full():
     rawB = tile_accumulators_raw(fi, feats[half:].T, i0, half,
                                  mode="momentum", eps=0.0, growth_rate=0.1,
                                  tile_i=8, tile_j=128, interpret=True)
-    accA = decode_raw(rawA, i0, "momentum")
-    accB = decode_raw(rawB, i0, "momentum")
+    accA = decode_raw(rawA, i0, mass[i0:i1], "momentum")
+    accB = decode_raw(rawB, i0, mass[i0:i1], "momentum")
     combined = combine_accumulators(accA, accB)
     full = pair_accumulators(pos, vel, mass, radius, mode="momentum",
                              growth_rate=0.1)
