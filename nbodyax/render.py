@@ -108,6 +108,12 @@ def pgm_bytes(img: np.ndarray) -> bytes:
 
 
 def write_pgm(path: str, img: np.ndarray) -> None:
+    try:
+        from nbodyax.native import binding as _native
+        if _native.write_pgm(path, np.asarray(img)):
+            return
+    except Exception:
+        pass  # fall back to the Python writer
     with open(path, "wb") as f:
         f.write(pgm_bytes(img))
 
