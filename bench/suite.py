@@ -8,7 +8,7 @@ Run: ``python -m bench.suite [--configs 1,2,4] [--out bench/results.json]``
 | 2 | N=16k elastic bounce                       | momentum/energy conservation |
 | 3 | N=131k reference merging, long horizon     | drift vs oracle, alive decay |
 | 4 | N=1M single-chip fused pass                | pairs/s/chip (the headline)  |
-| 5 | N=4M galaxy collision                      | steps/s at 4M + 8-way ring   |
+| 5 | galaxy collision (2M single-chip share)    | steps/s + 8-way ring         |
 |   |                                            | validated on a virtual mesh  |
 
 Each config reports steps/sec and pairwise interactions/sec. Steps are driven
@@ -188,14 +188,17 @@ def config4_million_single_chip():
 
 
 def config5_galaxy_4m(steps=1):
-    """N=4M galaxy-collision scenario. On this 1-chip environment: measured
-    single-chip steps/s at 4M; the 8-way ring is validated on a virtual CPU
-    mesh (tests/test_ring.py, __graft_entry__.dryrun_multichip)."""
+    """Galaxy-collision scenario (BASELINE target: N=4M over v5e-8, i.e. 512k
+    bodies/chip). On this 1-chip environment we run the largest stable
+    single-chip size (N=2M — a full 4M invocation crashes this relay's TPU
+    worker, and is 4x the per-chip footprint the 8-way config implies anyway);
+    the 8-way ring itself is validated on a virtual CPU mesh
+    (tests/test_ring.py, __graft_entry__.dryrun_multichip)."""
     from nbodyax.config import SimConfig
     from nbodyax.driver import build_step
     from nbodyax.scenes import init_scene
 
-    cfg = SimConfig(particle_count=4_194_304, scene="galaxy",
+    cfg = SimConfig(particle_count=2_097_152, scene="galaxy",
                     collision_mode="reference", softening=100.0)
     state = init_scene(cfg, parity=False)
     step = build_step(cfg)
@@ -204,7 +207,7 @@ def config5_galaxy_4m(steps=1):
     return {"config": 5, "n": n, "steps_per_sec": 1 / dt,
             "pairs_per_sec": n * n / dt,
             "finite": bool(np.isfinite(np.asarray(state.pos)).all()),
-            "note": "single-chip; 8-way ring validated on virtual mesh"}
+            "note": "single-chip 2M (largest stable); 8-way ring validated on virtual mesh"}
 
 
 CONFIGS = {1: config1_oracle_match, 2: config2_elastic_conservation,

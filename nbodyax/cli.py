@@ -34,10 +34,18 @@ def main(argv=None) -> int:
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace into DIR")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="enable jax_debug_nans (fail fast on NaN/Inf; the "
+                         "framework's analog of the reference's debug asserts, "
+                         "nbody.cu:234-236)")
     ap.add_argument("--resume", default=None, metavar="CKPT",
                     help="resume from checkpoint file (or 'auto' for latest "
                          "in checkpointPath)")
     args = ap.parse_args(argv)
+
+    if args.debug_nans:
+        import jax
+        jax.config.update("jax_debug_nans", True)
 
     if os.path.exists(args.config):
         if not args.quiet:

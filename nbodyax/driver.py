@@ -39,6 +39,12 @@ class RunResult:
     frames_written: int
 
 
+def _run_k(step, state, k):
+    for _ in range(k):
+        state = step(state)
+    return state
+
+
 def build_step(cfg: SimConfig) -> Callable[[SimState], SimState]:
     """Step function per config: physics params + backend (+ ring when
     shards > 1)."""
@@ -78,10 +84,25 @@ def run_simulation(cfg: SimConfig, *, quiet: bool = False,
     writer = FrameWriter(cfg.image_path) if cfg.save_images else None
     frames = 0
 
+    # host touch-points (render / log / checkpoint) have a fixed cadence; any
+    # stretch between them runs as ONE device dispatch (lax.fori_loop over the
+    # jitted step) so host/dispatch latency never gates small-N throughput
+    import math
+    cadences = [c for c in (cfg.save_image_every if cfg.save_images else 0,
+                            cfg.log_every, cfg.checkpoint_every) if c]
+    stride = math.gcd(*cadences) if cadences else 64
+
+    @jax.jit
+    def run_stride(s):
+        return jax.lax.fori_loop(0, stride, lambda i, st: step(st), s)
+
+    advance = step if stride == 1 else run_stride
+
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
     try:
-        for iteration in range(start_step, cfg.total_iterations):
+        iteration = start_step
+        while iteration < cfg.total_iterations:
             # reference renders every k-th iteration's *pre-step* state
             # (nbody.cu:529-538 renders after compaction, before the next
             # ComputeForces)
@@ -89,18 +110,20 @@ def run_simulation(cfg: SimConfig, *, quiet: bool = False,
                 img = render_state(state, cfg)
                 writer.submit(iteration, img)   # async host write
                 frames += 1
+            k = min(stride, cfg.total_iterations - iteration)
             meter.start()
-            state = step(state)
-            meter.stop(state)
-            if cfg.log_every and (iteration + 1) % cfg.log_every == 0:
+            state = advance(state) if k == stride else _run_k(step, state, k)
+            meter.stop(state, steps=k)
+            iteration += k
+            if cfg.log_every and iteration % cfg.log_every == 0:
                 scal = conservation_scalars(state)
-                logger.log(step=iteration + 1,
+                logger.log(step=iteration,
                            wall_ms=meter.elapsed / meter.steps * 1e3,
                            steps_per_sec=meter.steps_per_sec,
                            pairs_per_sec=meter.pairs_per_sec,
                            **scal)
             if cfg.checkpoint_every and \
-                    (iteration + 1) % cfg.checkpoint_every == 0:
+                    iteration % cfg.checkpoint_every == 0:
                 save_checkpoint(cfg.checkpoint_path, state)
     finally:
         if profile_dir:

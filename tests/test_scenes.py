@@ -1,0 +1,65 @@
+"""Scene constructor tests."""
+
+import numpy as np
+import pytest
+
+from nbodyax.config import SimConfig
+from nbodyax.physics.step import GRAV_CONSTANT, PhysicsParams, make_step
+from nbodyax.scenes import galaxy_scene, init_scene, three_body_scene
+from nbodyax.state import alive_count
+
+
+def test_uniform_scene_parity_vs_fast_path_stats():
+    cfg = SimConfig(particle_count=512, field_width=1000, field_height=1000)
+    a = init_scene(cfg, parity=True)
+    b = init_scene(cfg, parity=False)
+    for st in (a, b):
+        pos = np.asarray(st.pos)
+        assert (np.abs(pos[:, 0]) <= 1000).all()
+        assert (np.abs(pos[:, 1]) <= 1000).all()
+        assert (np.asarray(st.mass) >= cfg.min_body_mass).all()
+        assert (np.asarray(st.radius) >= cfg.min_radius).all()
+        assert (np.asarray(st.vel) == 0).all()
+
+
+def test_three_body_matches_reference_fixture():
+    # values from the commented-out block at nbody.cu:418-429
+    st = three_body_scene(SimConfig())
+    np.testing.assert_array_equal(np.asarray(st.pos),
+                                  [[-500, 0], [500, 0], [-600, -150]])
+    np.testing.assert_array_equal(np.asarray(st.vel),
+                                  [[10, 0], [-10, 0], [0, 0]])
+    np.testing.assert_array_equal(np.asarray(st.mass),
+                                  np.array([1e10, 1e14, 1e3], np.float32))
+    np.testing.assert_array_equal(np.asarray(st.radius), [10, 20, 7])
+
+
+def test_galaxy_scene_structure():
+    cfg = SimConfig(particle_count=2048, scene="galaxy")
+    st = galaxy_scene(cfg)
+    assert st.capacity == 2048
+    pos = np.asarray(st.pos)
+    vel = np.asarray(st.vel)
+    mass = np.asarray(st.mass, np.float64)
+    assert np.isfinite(pos).all() and np.isfinite(vel).all()
+    assert (mass > 0).all()
+    # two heavy centrals, one per disk
+    heavy = np.sort(mass)[::-1]
+    assert heavy[1] > 10 * heavy[2]
+    # disks approach each other along x: left half drifts +x, right half -x
+    n1 = 2048 // 2
+    assert vel[:n1, 0].mean() > 0 > vel[n1:, 0].mean()
+    # light bodies orbit: nonzero tangential speeds
+    assert np.abs(vel[1:n1]).max() > 0
+
+
+def test_galaxy_scene_runs_stably():
+    cfg = SimConfig(particle_count=256, scene="galaxy", softening=100.0,
+                    collision_mode="momentum")
+    st = init_scene(cfg)
+    p = PhysicsParams.from_config(cfg)
+    step = make_step(p)
+    for _ in range(20):
+        st = step(st)
+    assert np.isfinite(np.asarray(st.pos)).all()
+    assert alive_count(st) > 0
