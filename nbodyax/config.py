@@ -84,6 +84,9 @@ class SimConfig:
     shards: int = 1                       # devices to shard bodies over
     scene: str = "uniform"                # uniform (reference) | galaxy | three_body
     precision: str = "float32"            # float32 | bfloat16 (pair math)
+    compact_every: int = 0                # shrink capacity to live count every
+                                          # k steps (0 = off); reference analog
+                                          # of per-step host compaction
     checkpoint_every: int = 0             # 0 = disabled
     checkpoint_path: str = "checkpoints"
     resume_from: str = ""                 # checkpoint file to resume from
@@ -135,6 +138,7 @@ _KEYS = {
     "shards": ("shards", _stoi),
     "scene": ("scene", lambda s, k: s.strip()),
     "precision": ("precision", lambda s, k: s.strip()),
+    "compactEvery": ("compact_every", _stoi),
     "checkpointEvery": ("checkpoint_every", _stoi),
     "checkpointPath": ("checkpoint_path", lambda s, k: s.strip()),
     "resumeFrom": ("resume_from", lambda s, k: s.strip()),

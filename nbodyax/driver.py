@@ -89,7 +89,8 @@ def run_simulation(cfg: SimConfig, *, quiet: bool = False,
     # jitted step) so host/dispatch latency never gates small-N throughput
     import math
     cadences = [c for c in (cfg.save_image_every if cfg.save_images else 0,
-                            cfg.log_every, cfg.checkpoint_every) if c]
+                            cfg.log_every, cfg.checkpoint_every,
+                            cfg.compact_every) if c]
     stride = math.gcd(*cadences) if cadences else 64
 
     @jax.jit
@@ -125,6 +126,17 @@ def run_simulation(cfg: SimConfig, *, quiet: bool = False,
             if cfg.checkpoint_every and \
                     iteration % cfg.checkpoint_every == 0:
                 save_checkpoint(cfg.checkpoint_path, state)
+            if cfg.compact_every and cfg.shards == 1 and \
+                    iteration % cfg.compact_every == 0:
+                from nbodyax.state import compact_state
+                new_state = compact_state(state)
+                if new_state.capacity != state.capacity:
+                    if not quiet:
+                        print(f"Compacted {state.capacity} -> "
+                              f"{new_state.capacity} slots "
+                              f"(reference analog: nbody.cu:488-510)")
+                    state = new_state
+                    meter.capacity = state.capacity
     finally:
         if profile_dir:
             jax.profiler.stop_trace()

@@ -64,3 +64,35 @@ def alive_count(state: SimState) -> int:
 def to_numpy(state: SimState):
     """Host copies of all arrays (for checkpointing / inspection)."""
     return {k: np.asarray(v) for k, v in state._asdict().items()}
+
+
+def compact_state(state: SimState, *, min_capacity: int = 256,
+                  slack: float = 1.25) -> SimState:
+    """Shrink capacity to the next power-of-2 bucket above the live count.
+
+    The TPU analog of the reference's per-step host compaction
+    (/root/reference/src/nbody.cu:488-510): as merges kill bodies, the
+    all-pairs cost should track the live count, not the initial one. Shapes
+    stay static per bucket (log2-bounded recompiles instead of the reference's
+    every-step realloc). Order of survivors is preserved, so physics
+    accumulators are unchanged up to tile-boundary f32 regrouping. Returns the
+    input unchanged if no smaller bucket fits. Host-side; single-shard states.
+    """
+    mass = np.asarray(state.mass)
+    alive_idx = np.flatnonzero(mass > 0)
+    n_alive = max(1, len(alive_idx))
+    new_cap = max(min_capacity,
+                  1 << int(np.ceil(np.log2(n_alive * slack))))
+    if new_cap >= state.capacity:
+        return state
+    take = alive_idx[:new_cap]
+
+    def gather(x):
+        x = np.asarray(x)
+        out = np.zeros((new_cap,) + x.shape[1:], x.dtype)
+        out[:len(take)] = x[take]
+        return out
+
+    return make_state(gather(state.pos), gather(state.vel),
+                      gather(state.mass), gather(state.radius),
+                      step=int(np.asarray(state.step)))

@@ -1,0 +1,71 @@
+"""Capacity recompaction: the fixed-shape analog of the reference's host
+compaction (nbody.cu:488-510)."""
+
+import numpy as np
+import pytest
+
+from nbodyax.config import SimConfig
+from nbodyax.physics.step import PhysicsParams, make_step
+from nbodyax.state import compact_state, make_state, alive_count
+
+
+def sparse_state(capacity=1024, alive=100, seed=0):
+    rng = np.random.RandomState(seed)
+    pos = rng.uniform(-1000, 1000, (capacity, 2)).astype(np.float32)
+    vel = rng.uniform(-1, 1, (capacity, 2)).astype(np.float32)
+    mass = np.zeros(capacity, np.float32)
+    live = rng.choice(capacity, alive, replace=False)
+    mass[live] = rng.uniform(1, 10, alive).astype(np.float32)
+    radius = rng.uniform(1, 3, capacity).astype(np.float32)
+    return make_state(pos, vel, mass, radius)
+
+
+def test_compact_preserves_live_bodies():
+    st = sparse_state()
+    out = compact_state(st)
+    assert out.capacity == 256  # next pow2 >= 100 * 1.25
+    assert alive_count(out) == alive_count(st) == 100
+    # survivors keep their exact values, order preserved
+    m_in = np.asarray(st.mass)
+    live = m_in > 0
+    np.testing.assert_array_equal(np.asarray(out.mass)[:100], m_in[live])
+    np.testing.assert_array_equal(np.asarray(out.pos)[:100],
+                                  np.asarray(st.pos)[live])
+
+
+def test_compact_noop_when_dense():
+    st = sparse_state(capacity=256, alive=250)
+    assert compact_state(st) is st
+
+
+def test_compacted_trajectory_matches():
+    """Physics of live bodies is unchanged by dropping dead slots (dead slots
+    contribute exact zeros to every sum)."""
+    st = sparse_state(capacity=512, alive=64, seed=3)
+    p = PhysicsParams(dt=0.1, field_width=1000, field_height=1000)
+    step = make_step(p)
+    a = compact_state(st)
+    b = st
+    for _ in range(5):
+        a = step(a)
+        b = step(b)
+    live_b = np.asarray(b.mass) > 0
+    live_a = np.asarray(a.mass) > 0
+    np.testing.assert_allclose(np.asarray(a.pos)[live_a],
+                               np.asarray(b.pos)[live_b],
+                               rtol=1e-6, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(a.mass)[live_a],
+                               np.asarray(b.mass)[live_b], rtol=1e-6)
+
+
+def test_driver_compacts(tmp_path):
+    """End-to-end: a merging run with compactEvery shrinks capacity."""
+    from nbodyax.driver import run_simulation
+    cfg = SimConfig(particle_count=512, total_iterations=30,
+                    field_width=2000, field_height=2000,
+                    save_images=False, log_every=0, compact_every=10,
+                    backend="jnp")
+    res = run_simulation(cfg, quiet=True)
+    # dense overlapping scene merges aggressively; capacity must have shrunk
+    assert res.state.capacity < 512
+    assert alive_count(res.state) <= res.state.capacity
