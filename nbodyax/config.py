@@ -83,7 +83,9 @@ class SimConfig:
     backend: str = "auto"                 # auto | jnp | pallas
     shards: int = 1                       # devices to shard bodies over
     scene: str = "uniform"                # uniform (reference) | galaxy | three_body
-    precision: str = "float32"            # float32 | bfloat16 (pair math)
+    # NOTE deliberately no bf16 knob: bf16's 8-bit mantissa quantizes default-
+    # scene positions (~1e5) to ~512-unit steps, far coarser than collision
+    # radii — pair math must stay f32 on this workload
     compact_every: int = 0                # shrink capacity to live count every
                                           # k steps (0 = off); reference analog
                                           # of per-step host compaction
@@ -106,8 +108,6 @@ class SimConfig:
             raise ConfigError(f"unknown integrator {self.integrator!r}")
         if self.backend not in ("auto", "jnp", "pallas"):
             raise ConfigError(f"unknown backend {self.backend!r}")
-        if self.precision not in ("float32", "bfloat16"):
-            raise ConfigError(f"unknown precision {self.precision!r}")
         return self
 
 
@@ -137,7 +137,6 @@ _KEYS = {
     "backend": ("backend", lambda s, k: s.strip()),
     "shards": ("shards", _stoi),
     "scene": ("scene", lambda s, k: s.strip()),
-    "precision": ("precision", lambda s, k: s.strip()),
     "compactEvery": ("compact_every", _stoi),
     "checkpointEvery": ("checkpoint_every", _stoi),
     "checkpointPath": ("checkpoint_path", lambda s, k: s.strip()),

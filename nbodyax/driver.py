@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
+from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -45,13 +46,29 @@ def _run_k(step, state, k):
     return state
 
 
-def build_step(cfg: SimConfig) -> Callable[[SimState], SimState]:
+# one device dispatch is capped near this many pairs; beyond it the pair pass
+# splits into multiple dispatches (a monolithic N=4M execution is ~150 s of
+# uninterruptible device time — watchdogs kill it; see make_split_step)
+MAX_PAIRS_PER_DISPATCH = 4.5e12
+
+
+def build_step(cfg: SimConfig,
+               capacity: int = 0) -> Callable[[SimState], SimState]:
     """Step function per config: physics params + backend (+ ring when
-    shards > 1)."""
+    shards > 1, + split dispatches when capacity^2 exceeds the per-dispatch
+    pair budget)."""
     p = PhysicsParams.from_config(cfg)
     if cfg.shards > 1:
         from nbodyax.sharding.ring import make_sharded_step
         return make_sharded_step(cfg, p)
+    capacity = capacity or cfg.particle_count
+    n_splits = int(np.ceil(float(capacity) ** 2 / MAX_PAIRS_PER_DISPATCH))
+    if (n_splits > 1 and cfg.integrator == "euler"
+            and resolve_backend(cfg.backend) == "pallas"):
+        from nbodyax.physics.step import make_split_step
+        step = make_split_step(p, n_splits)
+        step._host_loop = True  # driver: don't wrap in lax.fori_loop
+        return step
     accum_fn = build_accum_fn(cfg.backend, p)
     return make_step(p, accum_fn=accum_fn)
 
@@ -79,7 +96,7 @@ def run_simulation(cfg: SimConfig, *, quiet: bool = False,
         mesh = make_mesh(cfg.shards)
         state = shard_state(pad_to_shards(state, cfg.shards), mesh)
 
-    step = build_step(cfg)
+    step = build_step(cfg, capacity=state.capacity)
     meter = StepMeter(capacity=state.capacity)
     writer = FrameWriter(cfg.image_path) if cfg.save_images else None
     frames = 0
@@ -93,11 +110,16 @@ def run_simulation(cfg: SimConfig, *, quiet: bool = False,
                             cfg.compact_every) if c]
     stride = math.gcd(*cadences) if cadences else 64
 
-    @jax.jit
-    def run_stride(s):
-        return jax.lax.fori_loop(0, stride, lambda i, st: step(st), s)
-
-    advance = step if stride == 1 else run_stride
+    if getattr(step, "_host_loop", False):
+        # split-dispatch step: orchestrated on the host, one call per step
+        advance = partial(_run_k, step, k=stride)
+    elif stride == 1:
+        advance = step
+    else:
+        @jax.jit
+        def run_stride(s):
+            return jax.lax.fori_loop(0, stride, lambda i, st: step(st), s)
+        advance = run_stride
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)

@@ -11,6 +11,7 @@ and JSONL logging.
 from __future__ import annotations
 
 import json
+import os
 import time
 from functools import partial
 from typing import IO, Optional
@@ -111,6 +112,10 @@ class JsonlLogger:
     """One JSON object per line; stdout and/or file."""
 
     def __init__(self, path: str = "", echo: bool = True):
+        if path:
+            parent = os.path.dirname(path)
+            if parent:
+                os.makedirs(parent, exist_ok=True)
         self._fh: Optional[IO] = open(path, "a") if path else None
         self._echo = echo
 

@@ -69,6 +69,42 @@ class PhysicsParams:
 AccumFn = Callable[..., PairAccumulators]
 
 
+def finish_euler(pos2, vel2, mass2, radius2, pre_radius, force,
+                 p: PhysicsParams):
+    """Post-collision tail of a step: boundary -> kick -> drift -> dead-slot
+    freeze, in the reference's exact order (SURVEY.md section 3.2). Takes the
+    post-collision arrays plus the pre-merge radius and the un-scaled force
+    sum; returns (pos, vel, mass, radius). Shared by the single-dispatch step,
+    the split-dispatch step for huge N, and the sharded ring step."""
+    dt = jnp.float32(p.dt)
+    accel = force * GRAV_CONSTANT
+    if p.boundary_mode == "reference":
+        vel2 = _boundary_flip(pos2, vel2, pre_radius, accel * dt, p)
+    new_vel = vel2 + accel * dt                       # nbody.cu:264
+    new_pos = pos2 + new_vel * dt                     # nbody.cu:288
+    if p.boundary_mode == "clamp":
+        probe = new_pos - pos2
+        new_vel = _boundary_flip(pos2, new_vel, radius2, probe, p)
+        new_pos = _clamp_positions(pos2 + new_vel * dt, radius2, p)
+    # freeze dead slots: the reference removes them outright
+    # (nbody.cu:488-510); freezing is the fixed-capacity analog and keeps
+    # their stale coordinates from drifting toward overflow over long runs
+    alive = (mass2 > 0)[:, None]
+    new_vel = jnp.where(alive, new_vel, 0.0)
+    new_pos = jnp.where(alive, new_pos, pos2)
+    return new_pos, new_vel, mass2, radius2
+
+
+def apply_euler_update(state: SimState, acc: PairAccumulators,
+                       p: PhysicsParams) -> SimState:
+    """Collision commit + finish_euler on a SimState."""
+    pos2, vel2, mass2, radius2 = resolve_collisions(
+        state.pos, state.vel, state.mass, state.radius, acc,
+        mode=p.collision_mode)
+    out = finish_euler(pos2, vel2, mass2, radius2, state.radius, acc.force, p)
+    return SimState(*out, state.step + 1)
+
+
 def _boundary_flip(pos, vel, radius, probe_disp, p: PhysicsParams):
     """Reflective boundary: flip velocity components where pos + probe_disp
     would exit the per-axis interval [-(field - r), field - r]
@@ -110,24 +146,8 @@ def make_step(p: PhysicsParams,
         return pos2, vel2, mass2, radius2, accel
 
     def euler_step(state: SimState) -> SimState:
-        pos, vel, mass, radius = state.pos, state.vel, state.mass, state.radius
-        pre_radius = radius  # boundary uses the pre-merge radius (nbody.cu:256)
-        pos2, vel2, mass2, radius2, accel = kick(pos, vel, mass, radius)
-        if p.boundary_mode == "reference":
-            vel2 = _boundary_flip(pos2, vel2, pre_radius, accel * dt, p)
-        new_vel = vel2 + accel * dt                       # nbody.cu:264
-        new_pos = pos2 + new_vel * dt                     # nbody.cu:288
-        if p.boundary_mode == "clamp":
-            probe = new_pos - pos2
-            new_vel = _boundary_flip(pos2, new_vel, radius2, probe, p)
-            new_pos = _clamp_positions(pos2 + new_vel * dt, radius2, p)
-        # freeze dead slots: the reference removes them outright
-        # (nbody.cu:488-510); freezing is the fixed-capacity analog and keeps
-        # their stale coordinates from drifting toward overflow over long runs
-        alive = (mass2 > 0)[:, None]
-        new_vel = jnp.where(alive, new_vel, 0.0)
-        new_pos = jnp.where(alive, new_pos, pos2)
-        return SimState(new_pos, new_vel, mass2, radius2, state.step + 1)
+        acc = accum_fn(state.pos, state.vel, state.mass, state.radius)
+        return apply_euler_update(state, acc, p)
 
     def leapfrog_step(state: SimState) -> SimState:
         """Kick-drift-kick with collision resolution at the first kick."""
@@ -148,3 +168,58 @@ def make_step(p: PhysicsParams,
 
     step = euler_step if p.integrator == "euler" else leapfrog_step
     return jax.jit(step)
+
+
+def make_split_step(p: PhysicsParams, n_splits: int,
+                    tile_i: Optional[int] = None,
+                    tile_j: Optional[int] = None) -> Callable[[SimState], SimState]:
+    """Huge-N single-chip step: the pair pass runs as ``n_splits`` separate
+    device dispatches over i-ranges, then one dispatch commits the update.
+
+    Motivation: at N=4M a monolithic fused pass is a ~150 s uninterruptible
+    device execution — beyond what execution watchdogs tolerate (observed: the
+    axon relay's TPU worker dies) and a scheduling black hole generally.
+    Splitting the i-grid bounds each dispatch (~N^2/n_splits pairs) with zero
+    redundant work; measured throughput is identical (1.17e11 pairs/s at N=4M
+    split x4). Host orchestration between dispatches, euler integrator only.
+    """
+    from nbodyax.physics.kernels import (DEFAULT_TILE_I, DEFAULT_TILE_J,
+                                         body_features, decode_raw,
+                                         tile_accumulators_raw)
+    if p.integrator != "euler":
+        raise ValueError("split-dispatch step supports the euler integrator")
+    ti = tile_i or DEFAULT_TILE_I
+    tj = tile_j or DEFAULT_TILE_J
+
+    @jax.jit
+    def feats_fn(state: SimState):
+        f = body_features(state.pos, state.vel, state.mass, state.radius)
+        return f, f.T
+
+    @partial(jax.jit, static_argnames=())
+    def chunk_raw(fi_chunk, fjt, off):
+        return tile_accumulators_raw(fi_chunk, fjt, off, 0,
+                                     mode=p.collision_mode, eps=p.eps,
+                                     growth_rate=p.growth_rate,
+                                     tile_i=ti, tile_j=tj)
+
+    @jax.jit
+    def commit(state: SimState, raw) -> SimState:
+        acc = decode_raw(raw, 0, state.mass, p.collision_mode)
+        return apply_euler_update(state, acc, p)
+
+    def step(state: SimState) -> SimState:
+        n = state.capacity
+        csize = -(-n // n_splits)
+        fi, fjt = feats_fn(state)
+        raws = []
+        for c in range(n_splits):
+            s = c * csize
+            e = min(n, s + csize)
+            if s >= e:
+                break
+            raws.append(chunk_raw(jax.lax.slice_in_dim(fi, s, e), fjt, s))
+        raw = jnp.concatenate(raws, axis=0)
+        return commit(state, raw)
+
+    return step

@@ -121,7 +121,7 @@ def make_sharded_step(cfg: SimConfig, p: PhysicsParams,
     dt = jnp.float32(p.dt)
 
     def local_step(pos, vel, mass, radius):
-        from nbodyax.physics.step import _boundary_flip, _clamp_positions
+        from nbodyax.physics.step import finish_euler
 
         acc = ring_accumulators(pos, vel, mass, radius, n_shards=n_shards,
                                 accum_fn=accum_fn)
@@ -143,21 +143,7 @@ def make_sharded_step(cfg: SimConfig, p: PhysicsParams,
             pos2, vel2, mass2, radius2 = resolve_collisions(
                 pos, vel, mass, radius, acc, mode=p.collision_mode)
 
-        accel = acc.force * GRAV_CONSTANT
-        pre_radius = radius
-        if p.boundary_mode == "reference":
-            vel2 = _boundary_flip(pos2, vel2, pre_radius, accel * dt, p)
-        new_vel = vel2 + accel * dt
-        new_pos = pos2 + new_vel * dt
-        if p.boundary_mode == "clamp":
-            probe = new_pos - pos2
-            new_vel = _boundary_flip(pos2, new_vel, radius2, probe, p)
-            new_pos = _clamp_positions(pos2 + new_vel * dt, radius2, p)
-        # freeze dead slots (see physics/step.py)
-        alive = (mass2 > 0)[:, None]
-        new_vel = jnp.where(alive, new_vel, 0.0)
-        new_pos = jnp.where(alive, new_pos, pos2)
-        return new_pos, new_vel, mass2, radius2
+        return finish_euler(pos2, vel2, mass2, radius2, radius, acc.force, p)
 
     sharded = jax.shard_map(
         local_step, mesh=mesh,
