@@ -32,3 +32,9 @@ __version__ = "0.1.0"
 
 from nbodyax.config import SimConfig, parse_config_file  # noqa: F401
 from nbodyax.state import SimState  # noqa: F401
+
+
+def run_simulation(*args, **kwargs):
+    """Lazy re-export of nbodyax.driver.run_simulation (imports JAX)."""
+    from nbodyax.driver import run_simulation as _run
+    return _run(*args, **kwargs)
