@@ -91,6 +91,9 @@ class SimConfig:
                                           # of per-step host compaction
     checkpoint_every: int = 0             # 0 = disabled
     checkpoint_path: str = "checkpoints"
+    auto_resume: bool = False             # on runtime failure, reload the
+                                          # latest checkpoint and continue
+    max_retries: int = 3                  # attempts when autoResume is on
     resume_from: str = ""                 # checkpoint file to resume from
     log_every: int = 1
     log_path: str = ""                    # JSONL metrics path ("" = stdout only)
@@ -140,6 +143,8 @@ _KEYS = {
     "compactEvery": ("compact_every", _stoi),
     "checkpointEvery": ("checkpoint_every", _stoi),
     "checkpointPath": ("checkpoint_path", lambda s, k: s.strip()),
+    "autoResume": ("auto_resume", lambda s, k: s.strip().lower() not in ("0", "false", "no")),
+    "maxRetries": ("max_retries", _stoi),
     "resumeFrom": ("resume_from", lambda s, k: s.strip()),
     "logEvery": ("log_every", _stoi),
     "logPath": ("log_path", lambda s, k: s.strip()),

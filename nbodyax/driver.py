@@ -76,6 +76,36 @@ def build_step(cfg: SimConfig,
 def run_simulation(cfg: SimConfig, *, quiet: bool = False,
                    state: Optional[SimState] = None,
                    profile_dir: Optional[str] = None) -> RunResult:
+    """Run to completion. With ``autoResume`` (and checkpointing) enabled,
+    runtime failures — device resets, preemptions — reload the latest
+    checkpoint and continue, up to ``maxRetries`` attempts. This is the
+    framework's recovery story (SURVEY.md section 5: fail-fast + checkpoint
+    restart; the reference can only crash, nbody.cu:20-33)."""
+    attempts = 1 + (cfg.max_retries if cfg.auto_resume and
+                    cfg.checkpoint_every else 0)
+    last_err: Optional[BaseException] = None
+    for attempt in range(attempts):
+        try:
+            return _run_simulation_once(cfg, quiet=quiet, state=state,
+                                        profile_dir=profile_dir)
+        except (RuntimeError, jax.errors.JaxRuntimeError) as e:
+            last_err = e
+            if attempt + 1 >= attempts:
+                raise
+            from nbodyax.io.checkpoint import latest_checkpoint
+            ck = latest_checkpoint(cfg.checkpoint_path)
+            if ck is None:
+                raise
+            if not quiet:
+                print(f"Run failed ({type(e).__name__}); resuming from {ck} "
+                      f"(attempt {attempt + 2}/{attempts})")
+            state = load_checkpoint(ck)
+    raise last_err  # unreachable
+
+
+def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
+                         state: Optional[SimState] = None,
+                         profile_dir: Optional[str] = None) -> RunResult:
     t_start = time.perf_counter()  # analog of jbutil::gettime (nbody.cu:374)
     logger = JsonlLogger(cfg.log_path, echo=not quiet)
 
