@@ -28,9 +28,10 @@ Accumulator channel layout (one f32[N, 8] array):
   ch0 fx, ch1 fy                              (all modes; additive)
   ch2 gained_mass | dvx                       (reference | elastic; additive)
   ch3 gained_radius | dvy                     (reference | elastic; additive)
-  ch4 died_count | cand_count                 (reference | momentum; additive,
-                                               decoded as >0)
-  ch5 best_mass                               (momentum; max-combined)
+  ch4 died_count                              (reference; additive, decoded
+                                               as >0)
+  ch5 best_mass                               (momentum; max-combined; stays
+                                               _NEG_INF iff no candidate)
   ch6 parent id as f32                        (momentum; combined with ch5)
   ch7 unused
 """
@@ -149,18 +150,22 @@ def _pair_kernel(ioff_ref, joff_ref, xi_ref, xj_ref, out_ref, *,
         jf = j_ids.astype(jnp.float32)
         order = jnp.where(cand & (key == bm), -jf, _NEG_INF)
         best_j = -jnp.max(order, axis=1, keepdims=True)
-        ch4 = jnp.sum(jnp.where(cand, 1.0, 0.0), axis=1, keepdims=True)
-        ch5 = jnp.where(any_cand, bm, _NEG_INF)
+        # no candidate-count channel needed: best_mass stays _NEG_INF iff no
+        # candidate in any tile (max-combines), which decode_raw tests
+        ch5 = bm
         ch6 = jnp.where(any_cand, best_j, ch6)
     elif mode == "elastic":
         vxi, vyi = xi_ref[:, 2:3], xi_ref[:, 3:4]
         vxj, vyj = xj_ref[2:3, :], xj_ref[3:4, :]
         vdotp = (vxj - vxi) * dx + (vyj - vyi) * dy
         approaching = overlap & (vdotp < 0) & (d2 > 0)
-        coef = jnp.where(approaching,
-                         2.0 * mj / (mi + mj) * vdotp
-                         / jnp.where(d2 > 0, d2, 1.0),
-                         0.0)
+        # 2*m_j*vdotp / ((m_i+m_j)*d2) with one exact reciprocal instead of
+        # two f32 divisions (division is many VPU ops; this mode is the
+        # costliest per pair)
+        denom = (mi + mj) * d2
+        inv_denom = pl.reciprocal(jnp.where(approaching, denom, 1.0),
+                                  approx=False)
+        coef = jnp.where(approaching, (2.0 * mj) * vdotp * inv_denom, 0.0)
         ch2 = jnp.sum(coef * dx, axis=1, keepdims=True)
         ch3 = jnp.sum(coef * dy, axis=1, keepdims=True)
 
@@ -280,7 +285,7 @@ def decode_raw(raw, i_offset, mass_i, mode: str) -> PairAccumulators:
         gr = jnp.where(alive, raw[:, 3], 0.0)
         died = (raw[:, 4] > 0) & alive
     elif mode == "momentum":
-        any_cand = (raw[:, 4] > 0) & alive
+        any_cand = (raw[:, 5] > _NEG_INF) & alive
         best_mass = jnp.where(any_cand, raw[:, 5], -jnp.inf)
         parent = jnp.where(any_cand, raw[:, 6].astype(jnp.int32), ids)
     elif mode == "elastic":
