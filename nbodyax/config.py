@@ -48,6 +48,15 @@ def _stof(text: str, key: str) -> float:
     return float(m.group(1))
 
 
+def _bool(text: str, key: str) -> bool:
+    v = text.strip().lower()
+    if v in ("1", "true", "yes", "on"):
+        return True
+    if v in ("0", "false", "no", "off"):
+        return False
+    raise ConfigError(f"{key} invalid value: {text!r} (expected true/false)")
+
+
 @dataclasses.dataclass
 class SimConfig:
     """All simulation settings.
@@ -143,13 +152,13 @@ _KEYS = {
     "compactEvery": ("compact_every", _stoi),
     "checkpointEvery": ("checkpoint_every", _stoi),
     "checkpointPath": ("checkpoint_path", lambda s, k: s.strip()),
-    "autoResume": ("auto_resume", lambda s, k: s.strip().lower() not in ("0", "false", "no")),
+    "autoResume": ("auto_resume", _bool),
     "maxRetries": ("max_retries", _stoi),
     "resumeFrom": ("resume_from", lambda s, k: s.strip()),
     "logEvery": ("log_every", _stoi),
     "logPath": ("log_path", lambda s, k: s.strip()),
     "renderPatch": ("render_patch", _stoi),
-    "saveImages": ("save_images", lambda s, k: s.strip().lower() not in ("0", "false", "no")),
+    "saveImages": ("save_images", _bool),
 }
 
 

@@ -128,7 +128,8 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
 
     step = build_step(cfg, capacity=state.capacity)
     meter = StepMeter(capacity=state.capacity)
-    writer = FrameWriter(cfg.image_path) if cfg.save_images else None
+    writer = (FrameWriter(cfg.image_path)
+              if cfg.save_images and cfg.save_image_every > 0 else None)
     frames = 0
 
     # host touch-points (render / log / checkpoint) have a fixed cadence; any

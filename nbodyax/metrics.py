@@ -79,12 +79,20 @@ class StepMeter:
 
     Interactions are counted like the reference's own accounting
     (SURVEY.md section 6): N_capacity^2 pairs per step — the work the all-pairs
-    kernel actually performs, dead slots included (they occupy lanes).
+    kernel actually performs, dead slots included (they occupy lanes). Pairs
+    are accumulated per stop() at the *then-current* capacity, so driver
+    compaction mid-run keeps the accounting honest.
+
+    Fencing: stop() pulls one host scalar from the result in addition to
+    block_until_ready — on relayed/async PJRT backends (see CLAUDE.md)
+    block_until_ready alone can return before execution finishes, which would
+    inflate every throughput number.
     """
 
     def __init__(self, capacity: int):
         self.capacity = capacity
         self.steps = 0
+        self.pairs = 0.0
         self.elapsed = 0.0
         self._t0: Optional[float] = None
 
@@ -94,8 +102,14 @@ class StepMeter:
     def stop(self, result=None, steps: int = 1):
         if result is not None:
             jax.block_until_ready(result)
+            leaves = jax.tree_util.tree_leaves(result)
+            if leaves:
+                # host fetch of the smallest leaf = a real completion fence
+                smallest = min(leaves, key=lambda l: getattr(l, "size", 1))
+                np.asarray(smallest)
         dt = time.perf_counter() - self._t0
         self.steps += steps
+        self.pairs += steps * float(self.capacity) ** 2
         self.elapsed += dt
         return dt
 
@@ -105,7 +119,7 @@ class StepMeter:
 
     @property
     def pairs_per_sec(self) -> float:
-        return self.steps_per_sec * float(self.capacity) ** 2
+        return self.pairs / self.elapsed if self.elapsed else 0.0
 
 
 class JsonlLogger:

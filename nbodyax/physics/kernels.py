@@ -303,6 +303,10 @@ def pallas_pair_accumulators(pos, vel, mass, radius, *, eps: float = 0.0,
                              interpret: Optional[bool] = None
                              ) -> PairAccumulators:
     """Drop-in Pallas replacement for physics.pairwise.pair_accumulators."""
+    if mode == "momentum" and pos.shape[0] > (1 << 24):
+        raise ValueError(
+            "momentum mode routes parent body ids through an f32 channel, "
+            f"exact only up to 2^24 ids; got N={pos.shape[0]}")
     feats = body_features(pos, vel, mass, radius)
     raw = tile_accumulators_raw(feats, feats.T, 0, 0, mode=mode, eps=eps,
                                 growth_rate=growth_rate, tile_i=tile_i,

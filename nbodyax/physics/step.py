@@ -150,14 +150,25 @@ def make_step(p: PhysicsParams,
         return apply_euler_update(state, acc, p)
 
     def leapfrog_step(state: SimState) -> SimState:
-        """Kick-drift-kick with collision resolution at the first kick."""
+        """Kick-drift-kick with collision resolution at the first kick.
+
+        Boundary semantics mirror the euler modes as closely as the KDK
+        structure allows: ``reference`` flips velocity on an accel*dt probe
+        and never clamps (quirk Q6 preserved); ``clamp`` predicts with the
+        real displacement and clamps positions into the field.
+        """
         pos, vel, mass, radius = state.pos, state.vel, state.mass, state.radius
         pos2, vel2, mass2, radius2, accel = kick(pos, vel, mass, radius)
         v_half = vel2 + accel * (dt / 2)
         new_pos = pos2 + v_half * dt
         acc2 = accum_fn(new_pos, v_half, mass2, radius2)
-        new_vel = v_half + acc2.force * GRAV_CONSTANT * (dt / 2)
-        if p.boundary_mode in ("reference", "clamp"):
+        accel2 = acc2.force * GRAV_CONSTANT
+        new_vel = v_half + accel2 * (dt / 2)
+        if p.boundary_mode == "reference":
+            # Q6-faithful: accel*dt probe, flip only, no position clamp
+            new_vel = _boundary_flip(new_pos, new_vel, radius2,
+                                     accel2 * dt, p)
+        elif p.boundary_mode == "clamp":
             new_vel = _boundary_flip(new_pos, new_vel, radius2,
                                      new_vel * dt, p)
             new_pos = _clamp_positions(new_pos, radius2, p)

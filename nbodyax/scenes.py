@@ -62,6 +62,9 @@ def galaxy_scene(cfg: SimConfig) -> SimState:
     orbits (v = sqrt(G*M_c/r) tangential). The disks approach each other along x.
     """
     n = cfg.particle_count
+    if n < 4:
+        raise ValueError("galaxy scene needs particleCount >= 4 "
+                         "(two disks, each a central body plus orbiters)")
     n1 = n // 2
     n2 = n - n1
     key = jax.random.PRNGKey(cfg.seed)

@@ -37,7 +37,7 @@ from nbodyax.physics.collisions import resolve_collisions
 from nbodyax.physics.pairwise import (PairAccumulators, combine_accumulators,
                                       empty_accumulators,
                                       pair_accumulators_chunk)
-from nbodyax.physics.step import GRAV_CONSTANT, PhysicsParams
+from nbodyax.physics.step import PhysicsParams
 from nbodyax.sharding.mesh import AXIS, make_mesh
 from nbodyax.state import SimState
 
@@ -89,8 +89,8 @@ def ring_accumulators(pos, vel, mass, radius, *, n_shards: int,
 
     acc = empty_accumulators(
         i_off + lax.broadcasted_iota(jnp.int32, (n_local, 1), 0).squeeze(-1))
-    # circulate (j data, j offset) to the next device each hop:
-    # after hop h, we hold the tile of shard (me - h) mod P
+    # circulate (j data, j offset): each hop we receive from device me+1,
+    # so after hop h we hold the tile of shard (me + h) mod P
     perm = [((s + 1) % n_shards, s) for s in range(n_shards)]
     tile = (pos, vel, mass, radius, jnp.asarray(i_off, jnp.int32))
     for hop in range(n_shards):
@@ -114,14 +114,23 @@ def make_sharded_step(cfg: SimConfig, p: PhysicsParams,
     difference is where the pair accumulators come from (the ring) and that
     momentum-mode merge resolution all-gathers.
     """
+    if p.integrator != "euler":
+        raise ValueError("the sharded ring step implements the euler "
+                         "integrator only (got integrator="
+                         f"{p.integrator!r})")
     if mesh is None:
         mesh = make_mesh(cfg.shards)
     n_shards = mesh.devices.size
     accum_fn = make_local_accum_fn(cfg.backend, p)
-    dt = jnp.float32(p.dt)
 
     def local_step(pos, vel, mass, radius):
         from nbodyax.physics.step import finish_euler
+
+        if (p.collision_mode == "momentum"
+                and pos.shape[0] * n_shards > (1 << 24)):
+            raise ValueError(
+                "momentum mode routes parent ids through an f32 channel, "
+                f"exact only up to 2^24 ids; got N={pos.shape[0] * n_shards}")
 
         acc = ring_accumulators(pos, vel, mass, radius, n_shards=n_shards,
                                 accum_fn=accum_fn)
