@@ -1,0 +1,80 @@
+"""Post-processing utilities.
+
+``python -m nbodyax.tools gif <frame_dir> [out.gif] [--fps 20] [--scale 1]``
+assembles the ``iteration_*.ppm`` frames a run produced (the reference's
+visual-regression artifact, nbody.cu:513-522) into an animated GIF.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+
+import numpy as np
+
+_FRAME_RE = re.compile(r"^iteration_(\d+)\.ppm$")
+
+
+def read_pgm(path: str) -> np.ndarray:
+    """Read the binary P5 files our writer (and the reference) produce."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if not data.startswith(b"P5"):
+        raise ValueError(f"{path}: not a binary PGM (P5) file")
+    # header: P5 <ws> width <ws> height <ws> maxval <single ws> raster
+    parts = data.split(b"\n", 3)
+    w, h = (int(v) for v in parts[1].split())
+    raster = parts[3][:w * h]
+    return np.frombuffer(raster, np.uint8).reshape(h, w)
+
+
+def list_frames(directory: str):
+    frames = []
+    for name in os.listdir(directory):
+        m = _FRAME_RE.match(name)
+        if m:
+            frames.append((int(m.group(1)), os.path.join(directory, name)))
+    return [p for _, p in sorted(frames)]
+
+
+def make_gif(frame_dir: str, out: str = "", fps: float = 20.0,
+             scale: int = 1) -> str:
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover
+        raise SystemExit("GIF assembly needs pillow") from e
+    paths = list_frames(frame_dir)
+    if not paths:
+        raise SystemExit(f"no iteration_*.ppm frames in {frame_dir}")
+    out = out or os.path.join(frame_dir, "animation.gif")
+    images = []
+    for p in paths:
+        arr = read_pgm(p)
+        if scale > 1:
+            arr = arr[::scale, ::scale]
+        images.append(Image.fromarray(arr, mode="L"))
+    images[0].save(out, save_all=True, append_images=images[1:],
+                   duration=max(1, int(1000 / fps)), loop=0)
+    return out
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="nbodyax.tools")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    g = sub.add_parser("gif", help="assemble frames into an animated GIF")
+    g.add_argument("frame_dir")
+    g.add_argument("out", nargs="?", default="")
+    g.add_argument("--fps", type=float, default=20.0)
+    g.add_argument("--scale", type=int, default=1,
+                   help="downsample factor (2 = half resolution)")
+    args = ap.parse_args(argv)
+    if args.cmd == "gif":
+        out = make_gif(args.frame_dir, args.out, args.fps, args.scale)
+        print(f"wrote {out} ({len(list_frames(args.frame_dir))} frames)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
