@@ -139,15 +139,19 @@ def make_step(p: PhysicsParams,
 
     def kick(pos, vel, mass, radius):
         """One force+collision pass; returns post-collision state and accel."""
-        acc = accum_fn(pos, vel, mass, radius)
-        pos2, vel2, mass2, radius2 = resolve_collisions(
-            pos, vel, mass, radius, acc, mode=p.collision_mode)
+        with jax.named_scope("pair_accumulators"):
+            acc = accum_fn(pos, vel, mass, radius)
+        with jax.named_scope("resolve_collisions"):
+            pos2, vel2, mass2, radius2 = resolve_collisions(
+                pos, vel, mass, radius, acc, mode=p.collision_mode)
         accel = acc.force * GRAV_CONSTANT
         return pos2, vel2, mass2, radius2, accel
 
     def euler_step(state: SimState) -> SimState:
-        acc = accum_fn(state.pos, state.vel, state.mass, state.radius)
-        return apply_euler_update(state, acc, p)
+        with jax.named_scope("pair_accumulators"):
+            acc = accum_fn(state.pos, state.vel, state.mass, state.radius)
+        with jax.named_scope("integrate"):
+            return apply_euler_update(state, acc, p)
 
     def leapfrog_step(state: SimState) -> SimState:
         """Kick-drift-kick with collision resolution at the first kick.

@@ -77,11 +77,16 @@ def make_local_accum_fn(backend: str, p: PhysicsParams):
 
 
 def ring_accumulators(pos, vel, mass, radius, *, n_shards: int,
-                      accum_fn: Callable) -> PairAccumulators:
+                      accum_fn: Callable,
+                      need_vel: bool = True) -> PairAccumulators:
     """Inside shard_map: fold all remote j tiles into local i accumulators.
 
     Arguments are the *local* shard arrays [N/P, ...]. Returns local-i
     accumulators identical (up to f32 rounding) to the single-device pass.
+
+    ``need_vel=False`` (gravity/merge modes — only the elastic impulse reads
+    partner velocities) drops vel from the circulating tile: 8 of 24 bytes
+    per body per hop of ICI traffic saved.
     """
     n_local = pos.shape[0]
     me = lax.axis_index(AXIS)
@@ -92,14 +97,19 @@ def ring_accumulators(pos, vel, mass, radius, *, n_shards: int,
     # circulate (j data, j offset): each hop we receive from device me+1,
     # so after hop h we hold the tile of shard (me + h) mod P
     perm = [((s + 1) % n_shards, s) for s in range(n_shards)]
-    tile = (pos, vel, mass, radius, jnp.asarray(i_off, jnp.int32))
+    zero_vel = jnp.zeros_like(vel)
+    tile = ((pos, vel, mass, radius) if need_vel
+            else (pos, mass, radius)) + (jnp.asarray(i_off, jnp.int32),)
     for hop in range(n_shards):
         if hop + 1 < n_shards:
             next_tile = jax.tree.map(lambda t: lax.ppermute(t, AXIS, perm),
                                      tile)
         else:
             next_tile = tile
-        pj, vj, mj, rj, j_off = tile
+        if need_vel:
+            pj, vj, mj, rj, j_off = tile
+        else:
+            (pj, mj, rj, j_off), vj = tile, zero_vel
         acc = combine_accumulators(
             acc, accum_fn(pos, vel, mass, radius, i_off, pj, vj, mj, rj, j_off))
         tile = next_tile
@@ -133,7 +143,8 @@ def make_sharded_step(cfg: SimConfig, p: PhysicsParams,
                 f"exact only up to 2^24 ids; got N={pos.shape[0] * n_shards}")
 
         acc = ring_accumulators(pos, vel, mass, radius, n_shards=n_shards,
-                                accum_fn=accum_fn)
+                                accum_fn=accum_fn,
+                                need_vel=p.collision_mode == "elastic")
 
         if p.collision_mode == "momentum":
             # merge trees cross shards: resolve replicated on gathered arrays

@@ -1,0 +1,65 @@
+"""Degenerate-size and boundary-condition edge cases."""
+
+import numpy as np
+import pytest
+
+from nbodyax.physics.pairwise import pair_accumulators
+from nbodyax.physics.kernels import pallas_pair_accumulators
+from nbodyax.physics.step import PhysicsParams, make_step
+from nbodyax.state import make_state
+
+
+def single_body():
+    return make_state(np.array([[5.0, 5.0]], np.float32),
+                      np.array([[1.0, 0.0]], np.float32),
+                      np.array([3.0], np.float32),
+                      np.array([1.0], np.float32))
+
+
+def test_single_body_drifts_freely():
+    st = single_body()
+    p = PhysicsParams(dt=0.5, field_width=1e6, field_height=1e6)
+    out = make_step(p)(st)
+    np.testing.assert_allclose(np.asarray(out.pos), [[5.5, 5.0]], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.vel), [[1.0, 0.0]])
+    assert float(out.mass[0]) == 3.0
+
+
+def test_single_body_kernel_zero_force():
+    st = single_body()
+    acc = pallas_pair_accumulators(st.pos, st.vel, st.mass, st.radius,
+                                   mode="reference", growth_rate=0.1,
+                                   tile_i=8, tile_j=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(acc.force), 0.0)
+    assert not bool(acc.died[0])
+
+
+def test_all_dead_state_is_stable():
+    st = make_state(np.zeros((4, 2), np.float32), np.zeros((4, 2), np.float32),
+                    np.zeros(4, np.float32), np.ones(4, np.float32))
+    p = PhysicsParams(dt=0.5, field_width=1e3, field_height=1e3)
+    out = make_step(p)(st)
+    assert np.isfinite(np.asarray(out.pos)).all()
+    np.testing.assert_array_equal(np.asarray(out.mass), 0.0)
+
+
+def test_two_coincident_bodies_merge_not_nan():
+    # exactly coincident: d=0; reference semantics absorb, no NaN anywhere
+    st = make_state(np.zeros((2, 2), np.float32), np.zeros((2, 2), np.float32),
+                    np.array([5.0, 2.0], np.float32),
+                    np.array([1.0, 1.0], np.float32))
+    p = PhysicsParams(dt=0.5, field_width=1e3, field_height=1e3)
+    out = make_step(p)(st)
+    assert np.isfinite(np.asarray(out.pos)).all()
+    assert float(out.mass[0]) == 7.0 and float(out.mass[1]) == 0.0
+
+
+def test_momentum_id_guard():
+    st = single_body()
+    with pytest.raises(ValueError, match="2\\^24"):
+        pallas_pair_accumulators(
+            np.zeros((1 << 24 | 8, 2), np.float32),
+            np.zeros((1 << 24 | 8, 2), np.float32),
+            np.ones(1 << 24 | 8, np.float32),
+            np.ones(1 << 24 | 8, np.float32),
+            mode="momentum", growth_rate=0.1, interpret=True)
