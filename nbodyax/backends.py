@@ -29,8 +29,13 @@ def resolve_backend(name: str) -> str:
     return name
 
 
-def build_accum_fn(backend: str, p: PhysicsParams):
+def build_accum_fn(backend: str, p: PhysicsParams, cfg=None):
     """Returns accum_fn(pos, vel, mass, radius) -> PairAccumulators."""
+    if cfg is not None and getattr(cfg, "force_model", "exact") == "bh":
+        from nbodyax.physics.barneshut import bh_accumulators
+        return partial(bh_accumulators, eps=p.eps, growth_rate=p.growth_rate,
+                       mode=p.collision_mode, levels=cfg.bh_levels,
+                       ring=cfg.bh_ring, neighbor_k=cfg.bh_neighbor_k)
     backend = resolve_backend(backend)
     if backend == "jnp":
         return partial(pair_accumulators, eps=p.eps, growth_rate=p.growth_rate,

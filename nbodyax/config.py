@@ -90,6 +90,13 @@ class SimConfig:
     boundary_mode: str = "reference"      # reference (Q6 accel*dt flip) | clamp | none
     integrator: str = "euler"             # euler (semi-implicit, reference) | leapfrog
     backend: str = "auto"                 # auto | jnp | pallas
+    force_model: str = "exact"            # exact (all-pairs, reference) | bh
+                                          # (hierarchical far field + exact
+                                          # grid-neighbor near field)
+    bh_levels: int = 0                    # finest quadtree level (0 = auto)
+    bh_ring: int = 1                      # near-window ring; 2 = ~10x better
+                                          # far-field accuracy, more near work
+    bh_neighbor_k: int = 32               # near-field partners kept per cell
     shards: int = 1                       # devices to shard bodies over
     scene: str = "uniform"                # uniform (reference) | galaxy | three_body
     # NOTE deliberately no bf16 knob: bf16's 8-bit mantissa quantizes default-
@@ -120,6 +127,10 @@ class SimConfig:
             raise ConfigError(f"unknown integrator {self.integrator!r}")
         if self.backend not in ("auto", "jnp", "pallas"):
             raise ConfigError(f"unknown backend {self.backend!r}")
+        if self.force_model not in ("exact", "bh"):
+            raise ConfigError(f"unknown forceModel {self.force_model!r}")
+        if self.force_model == "bh" and self.bh_ring not in (1, 2, 3):
+            raise ConfigError("bhRing must be 1, 2 or 3")
         return self
 
 
@@ -147,6 +158,10 @@ _KEYS = {
     "boundaryMode": ("boundary_mode", lambda s, k: s.strip()),
     "integrator": ("integrator", lambda s, k: s.strip()),
     "backend": ("backend", lambda s, k: s.strip()),
+    "forceModel": ("force_model", lambda s, k: s.strip()),
+    "bhLevels": ("bh_levels", _stoi),
+    "bhRing": ("bh_ring", _stoi),
+    "bhNeighborK": ("bh_neighbor_k", _stoi),
     "shards": ("shards", _stoi),
     "scene": ("scene", lambda s, k: s.strip()),
     "compactEvery": ("compact_every", _stoi),

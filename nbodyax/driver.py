@@ -62,6 +62,8 @@ def build_step(cfg: SimConfig,
         from nbodyax.sharding.ring import make_sharded_step
         return make_sharded_step(cfg, p)
     capacity = capacity or cfg.particle_count
+    if cfg.force_model == "bh":
+        return make_step(p, accum_fn=build_accum_fn(cfg.backend, p, cfg))
     n_splits = int(np.ceil(float(capacity) ** 2 / MAX_PAIRS_PER_DISPATCH))
     if (n_splits > 1 and cfg.integrator == "euler"
             and resolve_backend(cfg.backend) == "pallas"):

@@ -1,0 +1,108 @@
+"""Barnes-Hut/FMM force model vs the exact all-pairs oracle."""
+
+import numpy as np
+import pytest
+
+from nbodyax.physics.barneshut import (auto_levels, bh_accumulators,
+                                       overflow_count)
+from nbodyax.physics.pairwise import pair_accumulators
+
+
+def random_state(n, seed=0, field=10000.0, rmax=8.0):
+    rng = np.random.RandomState(seed)
+    pos = rng.uniform(-field, field, (n, 2)).astype(np.float32)
+    vel = rng.uniform(-3, 3, (n, 2)).astype(np.float32)
+    mass = rng.uniform(1, 100, n).astype(np.float32)
+    if n > 10:
+        mass[5] = 0.0
+    radius = rng.uniform(1, rmax, n).astype(np.float32)
+    return pos, vel, mass, radius
+
+
+def rel_force_err(a, b):
+    fa, fb = np.asarray(a.force, np.float64), np.asarray(b.force, np.float64)
+    scale = np.linalg.norm(fb, axis=1)
+    denom = np.maximum(scale, np.percentile(scale, 50))
+    return (np.linalg.norm(fa - fb, axis=1) / denom).max()
+
+
+@pytest.mark.parametrize("ring,tol", [(1, 0.05), (2, 0.01)])
+def test_far_field_accuracy(ring, tol):
+    pos, vel, mass, radius = random_state(2048, seed=1)
+    bh = bh_accumulators(pos, vel, mass, radius, eps=50.0, mode="none",
+                         ring=ring, levels=4, neighbor_k=64)
+    ex = pair_accumulators(pos, vel, mass, radius, eps=50.0, mode="none")
+    assert rel_force_err(bh, ex) < tol
+
+
+@pytest.mark.parametrize("mode", ["reference", "momentum", "elastic"])
+def test_collision_channels_match_exact(mode):
+    """With every body's neighborhood fully inside the near window (small
+    radii vs cell size, K large enough), collision decisions are EXACT."""
+    pos, vel, mass, radius = random_state(1024, seed=2, field=2000.0,
+                                          rmax=15.0)
+    bh = bh_accumulators(pos, vel, mass, radius, eps=10.0, growth_rate=0.1,
+                         mode=mode, levels=4, neighbor_k=128)
+    # cell size = 2*2000*1.0001/16 = 250 > 2*rmax -> all overlaps in-window
+    ex = pair_accumulators(pos, vel, mass, radius, eps=10.0, growth_rate=0.1,
+                           mode=mode)
+    if mode == "reference":
+        np.testing.assert_allclose(np.asarray(bh.gained_mass),
+                                   np.asarray(ex.gained_mass), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(bh.died), np.asarray(ex.died))
+    if mode == "momentum":
+        np.testing.assert_array_equal(np.asarray(bh.parent),
+                                      np.asarray(ex.parent))
+    if mode == "elastic":
+        da, de = np.asarray(bh.dv), np.asarray(ex.dv)
+        scale = max(np.abs(de).max(), 1e-30)
+        assert np.abs(da - de).max() / scale < 2e-5
+
+
+def test_bh_step_trajectory_close_to_exact():
+    from nbodyax.physics.step import PhysicsParams, make_step
+    from nbodyax.state import make_state
+    from functools import partial
+
+    pos, vel, mass, radius = random_state(512, seed=3, field=2000.0)
+    st = make_state(pos, vel, mass, radius)
+    p = PhysicsParams(dt=0.2, field_width=2000, field_height=2000, eps=50.0)
+    exact = make_step(p)
+    bh = make_step(p, accum_fn=partial(
+        bh_accumulators, eps=p.eps, growth_rate=p.growth_rate,
+        mode=p.collision_mode, ring=2, levels=4, neighbor_k=128))
+    a = b = st
+    for _ in range(10):
+        a = bh(a)
+        b = exact(b)
+    # merge decisions agree; positions drift only at the far-field error level
+    np.testing.assert_array_equal(np.asarray(a.mass) > 0,
+                                  np.asarray(b.mass) > 0)
+    pa, pb = np.asarray(a.pos), np.asarray(b.pos)
+    assert np.abs(pa - pb).max() / 4000.0 < 0.01
+
+
+def test_overflow_count():
+    # 100 coincident bodies in one cell with K=32 -> 68 overflow
+    pos = np.zeros((100, 2), np.float32)
+    mass = np.ones(100, np.float32)
+    pos[0] = [100.0, 100.0]  # spread the extent so cells are well-defined
+    n_over = int(overflow_count(pos, mass, levels=3, neighbor_k=32))
+    assert n_over == 99 - 32  # 99 bodies share one cell, 32 kept
+
+
+def test_dead_bodies_excluded():
+    pos, vel, mass, radius = random_state(256, seed=4, field=1000.0)
+    mass[::3] = 0.0
+    bh = bh_accumulators(pos, vel, mass, radius, eps=10.0, mode="reference",
+                         levels=3, neighbor_k=64)
+    assert np.all(np.asarray(bh.force)[::3] == 0)
+    assert not np.asarray(bh.died)[::3].any()
+    ex = pair_accumulators(pos, vel, mass, radius, eps=10.0, mode="reference")
+    np.testing.assert_array_equal(np.asarray(bh.died), np.asarray(ex.died))
+
+
+def test_auto_levels():
+    assert auto_levels(1024) == 4
+    assert auto_levels(1_000_000) == 9
+    assert auto_levels(100_000_000) == 10  # capped
