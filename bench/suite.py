@@ -219,14 +219,34 @@ def config5_galaxy_4m(steps=1):
             "note": "single-chip 4M via split dispatches; 8-way ring validated on virtual mesh"}
 
 
+def config6_bh_million():
+    """Beyond-reference: forceModel=bh at N=1M (hierarchical far field +
+    exact near-field collisions). Reported as equivalent-exact pairs/s for
+    comparison with config 4."""
+    from nbodyax.config import SimConfig
+    from nbodyax.driver import build_step
+    from nbodyax.scenes import init_scene
+
+    cfg = SimConfig(particle_count=1_048_576, collision_mode="reference",
+                    force_model="bh", softening=100.0)
+    state = init_scene(cfg, parity=False)
+    step = build_step(cfg)
+    state, dt = _time_steps(step, state, steps=3, chunk=1)
+    n = state.capacity
+    return {"config": 6, "n": n, "steps_per_sec": 1 / dt,
+            "equivalent_exact_pairs_per_sec": n * n / dt,
+            "force_model": "bh",
+            "finite": bool(np.isfinite(np.asarray(state.pos)).all())}
+
+
 CONFIGS = {1: config1_oracle_match, 2: config2_elastic_conservation,
            3: config3_merging_long_horizon, 4: config4_million_single_chip,
-           5: config5_galaxy_4m}
+           5: config5_galaxy_4m, 6: config6_bh_million}
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--configs", default="1,2,3,4,5,6")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
     results = []
