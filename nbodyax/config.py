@@ -129,8 +129,13 @@ class SimConfig:
             raise ConfigError(f"unknown backend {self.backend!r}")
         if self.force_model not in ("exact", "bh"):
             raise ConfigError(f"unknown forceModel {self.force_model!r}")
-        if self.force_model == "bh" and self.bh_ring not in (1, 2, 3):
-            raise ConfigError("bhRing must be 1, 2 or 3")
+        if self.force_model == "bh":
+            if self.bh_ring not in (1, 2, 3):
+                raise ConfigError("bhRing must be 1, 2 or 3")
+            if self.bh_levels != 0 and not 2 <= self.bh_levels <= 12:
+                raise ConfigError("bhLevels must be 0 (auto) or in [2, 12]")
+            if self.bh_neighbor_k < 1:
+                raise ConfigError("bhNeighborK must be >= 1")
         return self
 
 

@@ -59,6 +59,11 @@ def build_step(cfg: SimConfig,
     pair budget)."""
     p = PhysicsParams.from_config(cfg)
     if cfg.shards > 1:
+        if cfg.force_model == "bh":
+            raise NotImplementedError(
+                "forceModel=bh is single-device for now (sharding it needs "
+                "space-partitioned body placement, not index sharding); run "
+                "with shards=1 or forceModel=exact")
         from nbodyax.sharding.ring import make_sharded_step
         return make_sharded_step(cfg, p)
     capacity = capacity or cfg.particle_count
@@ -173,6 +178,13 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
             iteration += k
             if cfg.log_every and iteration % cfg.log_every == 0:
                 scal = conservation_scalars(state)
+                if cfg.force_model == "bh":
+                    from nbodyax.physics.barneshut import overflow_count
+                    # bodies invisible to the near field this step (raise
+                    # bhNeighborK / bhLevels if this is ever nonzero)
+                    scal["bh_overflow"] = overflow_count(
+                        state.pos, state.mass, levels=cfg.bh_levels,
+                        neighbor_k=cfg.bh_neighbor_k)
                 logger.log(step=iteration,
                            wall_ms=meter.elapsed / meter.steps * 1e3,
                            steps_per_sec=meter.steps_per_sec,

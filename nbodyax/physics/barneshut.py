@@ -25,8 +25,13 @@ Documented approximations:
 1. overlaps spanning beyond the near window (radius sum > ring * cell size)
    are missed — fine while radii stay below the cell size;
 2. cells holding more than K bodies drop the excess from near-field lists
-   (``overflow_count`` reports how many; raise ``bhNeighborK`` or ``bhLevels``
-   if it is nonzero).
+   (``overflow_count`` reports how many — the driver logs it as
+   ``bh_overflow``; raise ``bhNeighborK`` or ``bhLevels`` if it is nonzero);
+3. the monopole far field is not exactly antisymmetric (body A's pull from
+   B's cell aggregate differs from B's pull from A's), so total momentum
+   drifts at the far-field error level over long runs — standard for tree
+   codes; use ``forceModel=exact`` where strict momentum conservation
+   matters.
 
 Dead bodies (mass 0) go to an out-of-grid bucket: they occupy no near-field
 slots and contribute nothing to the aggregates.

@@ -60,6 +60,15 @@ DEFAULT_TILE_J = 2048
 _NEG_INF = float(np.finfo(np.float32).min)  # sentinel for "no candidate"
 
 
+def check_momentum_id_range(mode: str, n: int) -> None:
+    """Momentum mode routes parent body ids through an f32 accumulator
+    channel, exact only up to 2^24 ids."""
+    if mode == "momentum" and n > (1 << 24):
+        raise ValueError(
+            "momentum mode routes parent body ids through an f32 channel, "
+            f"exact only up to 2^24 ids; got N={n}")
+
+
 def body_features(pos, vel, mass, radius) -> jax.Array:
     """Pack state into the kernel's [N, NUM_FEATS] i-side feature layout.
 
@@ -159,13 +168,13 @@ def _pair_kernel(ioff_ref, joff_ref, xi_ref, xj_ref, out_ref, *,
         vxj, vyj = xj_ref[2:3, :], xj_ref[3:4, :]
         vdotp = (vxj - vxi) * dx + (vyj - vyi) * dy
         approaching = overlap & (vdotp < 0) & (d2 > 0)
-        # 2*m_j*vdotp / ((m_i+m_j)*d2) with one exact reciprocal instead of
-        # two f32 divisions (division is many VPU ops; this mode is the
-        # costliest per pair)
-        denom = (mi + mj) * d2
-        inv_denom = pl.reciprocal(jnp.where(approaching, denom, 1.0),
-                                  approx=False)
-        coef = jnp.where(approaching, (2.0 * mj) * vdotp * inv_denom, 0.0)
+        # (2*m_j/(m_i+m_j)) * vdotp / d2 with exact reciprocals instead of
+        # f32 divisions (cheaper on the VPU). The mass ratio is computed
+        # FIRST and is bounded <= 2, so huge masses cannot overflow the way a
+        # fused (m_i+m_j)*d2 denominator can.
+        ratio = (2.0 * mj) * pl.reciprocal(mi + mj, approx=False)
+        inv_d2 = pl.reciprocal(jnp.where(approaching, d2, 1.0), approx=False)
+        coef = jnp.where(approaching, ratio * vdotp * inv_d2, 0.0)
         ch2 = jnp.sum(coef * dx, axis=1, keepdims=True)
         ch3 = jnp.sum(coef * dy, axis=1, keepdims=True)
 
@@ -303,10 +312,7 @@ def pallas_pair_accumulators(pos, vel, mass, radius, *, eps: float = 0.0,
                              interpret: Optional[bool] = None
                              ) -> PairAccumulators:
     """Drop-in Pallas replacement for physics.pairwise.pair_accumulators."""
-    if mode == "momentum" and pos.shape[0] > (1 << 24):
-        raise ValueError(
-            "momentum mode routes parent body ids through an f32 channel, "
-            f"exact only up to 2^24 ids; got N={pos.shape[0]}")
+    check_momentum_id_range(mode, pos.shape[0])
     feats = body_features(pos, vel, mass, radius)
     raw = tile_accumulators_raw(feats, feats.T, 0, 0, mode=mode, eps=eps,
                                 growth_rate=growth_rate, tile_i=tile_i,

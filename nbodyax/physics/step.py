@@ -199,7 +199,8 @@ def make_split_step(p: PhysicsParams, n_splits: int,
     split x4). Host orchestration between dispatches, euler integrator only.
     """
     from nbodyax.physics.kernels import (DEFAULT_TILE_I, DEFAULT_TILE_J,
-                                         body_features, decode_raw,
+                                         body_features,
+                                         check_momentum_id_range, decode_raw,
                                          tile_accumulators_raw)
     if p.integrator != "euler":
         raise ValueError("split-dispatch step supports the euler integrator")
@@ -225,6 +226,7 @@ def make_split_step(p: PhysicsParams, n_splits: int,
 
     def step(state: SimState) -> SimState:
         n = state.capacity
+        check_momentum_id_range(p.collision_mode, n)
         csize = -(-n // n_splits)
         fi, fjt = feats_fn(state)
         raws = []

@@ -74,6 +74,15 @@ def galaxy_scene(cfg: SimConfig) -> SimState:
     m_central = float(cfg.max_body_mass)
     approach_v = 0.25 * float(np.sqrt(G * m_central / sep))
 
+    # Body radii are scaled so the disk isn't solid: the reference-scene
+    # radius range (50-200 over a 1e5 field) would pack a 131k-body disk at
+    # ~80% area density and everything would agglomerate within steps. Cap
+    # total body area at ~1% of the disk area.
+    mean_r2 = (cfg.min_radius ** 2 + cfg.min_radius * cfg.max_radius
+               + cfg.max_radius ** 2) / 3.0
+    packing = n * np.pi * mean_r2 / (np.pi * disk_r ** 2)
+    r_scale = float(min(1.0, np.sqrt(0.01 / max(packing, 1e-30))))
+
     def disk(key, count, center, drift):
         k1, k2, k3, k4 = jax.random.split(key, 4)
         # area-uniform radial distribution, small inner hole
@@ -86,7 +95,8 @@ def galaxy_scene(cfg: SimConfig) -> SimState:
                                minval=cfg.min_body_mass,
                                maxval=0.01 * cfg.max_body_mass)
         rad = jax.random.uniform(k4, (count - 1,), jnp.float32,
-                                 minval=cfg.min_radius, maxval=cfg.max_radius)
+                                 minval=cfg.min_radius * r_scale,
+                                 maxval=cfg.max_radius * r_scale)
         p = jnp.concatenate([center[None, :], p], 0)
         v = jnp.concatenate([drift[None, :], v], 0)
         m = jnp.concatenate([jnp.array([m_central], jnp.float32), m], 0)

@@ -83,7 +83,7 @@ def test_bh_step_trajectory_close_to_exact():
 
 
 def test_overflow_count():
-    # 100 coincident bodies in one cell with K=32 -> 68 overflow
+    # 99 coincident bodies share one cell; K=32 kept -> 67 overflow
     pos = np.zeros((100, 2), np.float32)
     mass = np.ones(100, np.float32)
     pos[0] = [100.0, 100.0]  # spread the extent so cells are well-defined

@@ -55,11 +55,10 @@ def test_two_coincident_bodies_merge_not_nan():
 
 
 def test_momentum_id_guard():
-    st = single_body()
+    n = (1 << 24) + 8
+    # broadcast views: zero allocation, the guard only reads the shape
+    z2 = np.broadcast_to(np.float32(0), (n, 2))
+    z1 = np.broadcast_to(np.float32(1), (n,))
     with pytest.raises(ValueError, match="2\\^24"):
-        pallas_pair_accumulators(
-            np.zeros((1 << 24 | 8, 2), np.float32),
-            np.zeros((1 << 24 | 8, 2), np.float32),
-            np.ones(1 << 24 | 8, np.float32),
-            np.ones(1 << 24 | 8, np.float32),
-            mode="momentum", growth_rate=0.1, interpret=True)
+        pallas_pair_accumulators(z2, z2, z1, z1, mode="momentum",
+                                 growth_rate=0.1, interpret=True)
