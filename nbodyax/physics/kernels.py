@@ -168,13 +168,17 @@ def _pair_kernel(ioff_ref, joff_ref, xi_ref, xj_ref, out_ref, *,
         vxj, vyj = xj_ref[2:3, :], xj_ref[3:4, :]
         vdotp = (vxj - vxi) * dx + (vyj - vyi) * dy
         approaching = overlap & (vdotp < 0) & (d2 > 0)
-        # (2*m_j/(m_i+m_j)) * vdotp / d2 with exact reciprocals instead of
-        # f32 divisions (cheaper on the VPU). The mass ratio is computed
-        # FIRST and is bounded <= 2, so huge masses cannot overflow the way a
-        # fused (m_i+m_j)*d2 denominator can.
-        ratio = (2.0 * mj) * pl.reciprocal(mi + mj, approx=False)
-        inv_d2 = pl.reciprocal(jnp.where(approaching, d2, 1.0), approx=False)
-        coef = jnp.where(approaching, ratio * vdotp * inv_d2, 0.0)
+        # (2*m_j/(m_i+m_j)) * vdotp / d2 with ONE exact reciprocal (f32
+        # division costs many VPU ops). The fused denominator is clamped
+        # below f32 max so extreme masses (>~1e34) degrade the impulse toward
+        # 0 instead of overflowing to inf -> NaN, and vdotp is divided before
+        # the final mass product so intermediates stay bounded. The clamp sits
+        # at 1e37 (not f32 max) so its reciprocal stays a NORMAL float —
+        # 1/3e38 is subnormal and flushes to zero on TPU.
+        denom = jnp.minimum((mi + mj) * d2, 1e37)
+        inv_denom = pl.reciprocal(jnp.where(approaching, denom, 1.0),
+                                  approx=False)
+        coef = jnp.where(approaching, vdotp * inv_denom * (2.0 * mj), 0.0)
         ch2 = jnp.sum(coef * dx, axis=1, keepdims=True)
         ch3 = jnp.sum(coef * dy, axis=1, keepdims=True)
 

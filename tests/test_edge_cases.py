@@ -62,3 +62,22 @@ def test_momentum_id_guard():
     with pytest.raises(ValueError, match="2\\^24"):
         pallas_pair_accumulators(z2, z2, z1, z1, mode="momentum",
                                  growth_rate=0.1, interpret=True)
+
+
+@pytest.mark.parametrize("m,exact", [(1e20, True), (1e36, False)])
+def test_elastic_kernel_huge_masses_no_nan(m, exact):
+    """Masses near f32 extremes: the elastic impulse must stay finite
+    (regression test for a fused-denominator overflow -> NaN). Beyond the
+    1e37 denominator clamp the impulse degrades toward 0 by design."""
+    st = make_state(np.array([[0, 0], [150, 0]], np.float32),
+                    np.array([[1, 0], [-1, 0]], np.float32),
+                    np.array([m, m], np.float32),
+                    np.array([100.0, 100.0], np.float32))
+    acc = pallas_pair_accumulators(st.pos, st.vel, st.mass, st.radius,
+                                   mode="elastic", growth_rate=0.1,
+                                   tile_i=8, tile_j=128, interpret=True)
+    dv = np.asarray(acc.dv)
+    assert np.isfinite(dv).all()
+    if exact:
+        # equal masses, head-on: each body's velocity change magnitude is 2
+        np.testing.assert_allclose(dv[0], [-2.0, 0.0], rtol=1e-5)
