@@ -60,10 +60,8 @@ def build_step(cfg: SimConfig,
     p = PhysicsParams.from_config(cfg)
     if cfg.shards > 1:
         if cfg.force_model == "bh":
-            raise NotImplementedError(
-                "forceModel=bh is single-device for now (sharding it needs "
-                "space-partitioned body placement, not index sharding); run "
-                "with shards=1 or forceModel=exact")
+            from nbodyax.sharding.bh import make_sharded_bh_step
+            return make_sharded_bh_step(cfg, p)
         from nbodyax.sharding.ring import make_sharded_step
         return make_sharded_step(cfg, p)
     capacity = capacity or cfg.particle_count

@@ -49,7 +49,8 @@ from jax import lax
 from nbodyax.physics.pairwise import (PairAccumulators, combine_accumulators,
                                       empty_accumulators)
 
-__all__ = ["bh_accumulators", "auto_levels", "overflow_count"]
+__all__ = ["bh_accumulators", "bh_local_accumulators",
+           "auto_levels", "overflow_count"]
 
 _NEG_INF = jnp.float32(-jnp.inf)
 
@@ -100,17 +101,18 @@ def _level_grids(pos, mass, ext, levels):
     return grids
 
 
-def _far_force(pos, mass, ext, levels, ring, eps2, chunk):
-    """Monopole far-field force per body (original body order)."""
+def _far_force(i_pos, pos, mass, ext, levels, ring, eps2, chunk):
+    """Monopole far-field force for the i bodies (any subset), with grids
+    aggregated from the full (pos, mass) partner set."""
     grids = _level_grids(pos, mass, ext, levels)
-    n = pos.shape[0]
+    n = i_pos.shape[0]
     win = 4 * ring + 2
     offy = lax.broadcasted_iota(jnp.int32, (win, win), 0).reshape(-1)
     offx = lax.broadcasted_iota(jnp.int32, (win, win), 1).reshape(-1)
 
     nchunks = -(-n // chunk)
     npad = nchunks * chunk
-    pos_p = jnp.pad(pos, ((0, npad - n), (0, 0)))
+    pos_p = jnp.pad(i_pos, ((0, npad - n), (0, 0)))
 
     packed = {l: jnp.stack(grids[l], axis=1) for l in grids}  # [cells, 3]
 
@@ -213,53 +215,65 @@ def _gathered_pair_accum(pi, vi, mi, ri, ii, pj, vj, mj, rj, jj, *,
     return out
 
 
-def _near_field(pos, vel, mass, radius, ext, levels, ring, eps2,
+def _near_field(i_pos, i_vel, i_mass, i_radius, i_ids,
+                pos, vel, mass, radius, ext, levels, ring, eps2,
                 growth_rate, mode, k, chunk):
-    """Exact accumulators over (2*ring+1)^2 finest-cell neighbors."""
+    """Exact accumulators of i bodies against their (2*ring+1)^2 finest-cell
+    neighbors among the (global) partner set.
+
+    The i side is decoupled from the partner structure: partners come from
+    the full (pos, vel, mass, radius) arrays sorted by cell; i bodies are any
+    subset (the same arrays on one device, the local shard when sharded) with
+    their *global* ids in ``i_ids``. Accumulators return in i order — no
+    unsorting needed.
+    """
+    n_i = i_pos.shape[0]
     n = pos.shape[0]
     g = 1 << levels
     cx, cy = _cells(pos, ext, g)
     alive = mass > 0
     cell = jnp.where(alive, cy * g + cx, g * g)        # dead -> bucket g^2
-    order = jnp.argsort(cell).astype(jnp.int32)        # sorted -> orig index
+    order = jnp.argsort(cell).astype(jnp.int32)        # sorted -> global index
     s_cell = cell[order]
-    s_pos, s_vel = pos[order], vel[order]
-    s_mass, s_radius = mass[order], radius[order]
     cells_iota = jnp.arange(g * g, dtype=s_cell.dtype)
     starts = jnp.searchsorted(s_cell, cells_iota).astype(jnp.int32)
     ends = jnp.searchsorted(s_cell, cells_iota, side="right").astype(jnp.int32)
     counts = ends - starts
 
-    nchunks = -(-n // chunk)
-    npad = nchunks * chunk
-
-    def padded(x):
-        return jnp.pad(x, [(0, npad - n)] + [(0, 0)] * (x.ndim - 1))
-
-    # single packed feature row per body: one wide gather per neighbor window
-    # instead of six narrow ones (TPU gathers are the bottleneck here).
-    # Layout: x, y, vx, vy, m, r, id-as-f32 (exact: momentum guards N<=2^24;
-    # for larger N only the self-pair test uses it and ids stay < 2^25 where
-    # f32 spacing is 2, so distinct ids cannot alias until N > 2^24 anyway —
-    # enforced below).
+    # single packed feature row per partner: one wide gather per neighbor
+    # window instead of six narrow ones (TPU gathers are the bottleneck).
+    # Layout: x, y, vx, vy, m, r, global-id-as-f32 (exact up to 2^24 ids).
     if n > (1 << 24):
         raise ValueError("bh near field packs body ids into f32 lanes; "
                          f"N={n} exceeds the exact 2^24 range")
-    sf = padded(jnp.stack(
-        [s_pos[:, 0], s_pos[:, 1], s_vel[:, 0], s_vel[:, 1],
-         s_mass, s_radius, order.astype(jnp.float32)], axis=1))
-    sc = jnp.pad(s_cell, (0, npad - n), constant_values=g * g)
-    so = jnp.pad(order, (0, npad - n), constant_values=n)
+    sf = jnp.stack(
+        [pos[order, 0], pos[order, 1], vel[order, 0], vel[order, 1],
+         mass[order], radius[order], order.astype(jnp.float32)], axis=1)
+
+    nchunks = -(-n_i // chunk)
+    npad = nchunks * chunk
+
+    def padded(x):
+        return jnp.pad(x, [(0, npad - n_i)] + [(0, 0)] * (x.ndim - 1))
+
+    ip, iv = padded(i_pos), padded(i_vel)
+    im, ir = padded(i_mass), padded(i_radius)
+    iid = jnp.pad(i_ids.astype(jnp.int32), (0, npad - n_i),
+                  constant_values=-1)
+    icx, icy = _cells(ip, ext, g)
+    # dead i rows produce junk that the alive_i mask inside the pair math
+    # zeroes; their neighbor window is whatever their stale position hashes to
     ks = lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
     def one_chunk(c):
         s = c * chunk
-        fi = lax.dynamic_slice_in_dim(sf, s, chunk)
-        pi, vi = fi[:, 0:2], fi[:, 2:4]
-        mi, ri = fi[:, 4], fi[:, 5]
-        ci = lax.dynamic_slice_in_dim(sc, s, chunk)
-        ii = lax.dynamic_slice_in_dim(so, s, chunk)
-        ccx, ccy = ci % g, ci // g                     # dead rows: ccy == g
+        pi = lax.dynamic_slice_in_dim(ip, s, chunk)
+        vi = lax.dynamic_slice_in_dim(iv, s, chunk)
+        mi = lax.dynamic_slice_in_dim(im, s, chunk)
+        ri = lax.dynamic_slice_in_dim(ir, s, chunk)
+        ii = lax.dynamic_slice_in_dim(iid, s, chunk)
+        ccx = lax.dynamic_slice_in_dim(icx, s, chunk)
+        ccy = lax.dynamic_slice_in_dim(icy, s, chunk)
         acc = empty_accumulators(ii)
         for di in range(-ring, ring + 1):
             for dj in range(-ring, ring + 1):
@@ -270,7 +284,7 @@ def _near_field(pos, vel, mass, radius, ext, levels, ring, eps2,
                 cnt = jnp.minimum(counts[ncell], k)
                 slots = st[:, None] + ks               # [C, k]
                 ok = okc[:, None] & (ks < cnt[:, None])
-                idx = jnp.clip(jnp.where(ok, slots, 0), 0, npad - 1)
+                idx = jnp.clip(jnp.where(ok, slots, 0), 0, n - 1)
                 fj = jnp.where(ok[..., None], sf[idx], 0.0)  # [C, k, 7]
                 pj, vj = fj[..., 0:2], fj[..., 2:4]
                 mj, rj = fj[..., 4], fj[..., 5]
@@ -284,23 +298,7 @@ def _near_field(pos, vel, mass, radius, ext, levels, ring, eps2,
         acc = jax.tree.map(lambda x: x[None], one_chunk(jnp.int32(0)))
     else:
         acc = lax.map(one_chunk, jnp.arange(nchunks))
-    acc = jax.tree.map(lambda x: x.reshape((npad,) + x.shape[2:]), acc)
-
-    # scatter sorted-order accumulators back to original body order
-    ids = jnp.arange(n, dtype=jnp.int32)
-    out = empty_accumulators(ids)
-
-    def unsort(sorted_x, default):
-        return default.at[so].set(sorted_x, mode="drop")
-
-    return PairAccumulators(
-        force=unsort(acc.force, out.force),
-        gained_mass=unsort(acc.gained_mass, out.gained_mass),
-        gained_radius=unsort(acc.gained_radius, out.gained_radius),
-        died=unsort(acc.died, out.died),
-        best_mass=unsort(acc.best_mass, out.best_mass),
-        parent=unsort(acc.parent, out.parent),
-        dv=unsort(acc.dv, out.dv))
+    return jax.tree.map(lambda x: x.reshape((npad,) + x.shape[2:])[:n_i], acc)
 
 
 def bh_accumulators(pos, vel, mass, radius, *, eps: float = 0.0,
@@ -315,12 +313,37 @@ def bh_accumulators(pos, vel, mass, radius, *, eps: float = 0.0,
     alive = mass > 0
     ext = _extent(pos, alive)
 
-    near = _near_field(pos, vel, mass, radius, ext, levels, ring, eps2,
+    ids = jnp.arange(n, dtype=jnp.int32)
+    near = _near_field(pos, vel, mass, radius, ids,
+                       pos, vel, mass, radius, ext, levels, ring, eps2,
                        jnp.float32(growth_rate), mode, neighbor_k,
                        min(chunk, n))
-    far = _far_force(pos, mass, ext, levels, ring, eps2, min(chunk, n))
-    far_acc = empty_accumulators(jnp.arange(n, dtype=jnp.int32))._replace(
+    far = _far_force(pos, pos, mass, ext, levels, ring, eps2, min(chunk, n))
+    far_acc = empty_accumulators(ids)._replace(
         force=jnp.where(alive[:, None], far, 0.0))
+    return combine_accumulators(near, far_acc)
+
+
+def bh_local_accumulators(i_pos, i_vel, i_mass, i_radius, i_ids,
+                          pos, vel, mass, radius, *, eps: float,
+                          growth_rate: float, mode: str, levels: int = 0,
+                          ring: int = 1, neighbor_k: int = 32,
+                          chunk: int = 8192) -> PairAccumulators:
+    """Accumulators for a subset of bodies (the i side, with global ids)
+    against the full global body set — the sharded-bh building block: each
+    shard passes its local slice as i and the all-gathered arrays as the
+    partner set. Identical math to bh_accumulators."""
+    n = pos.shape[0]
+    levels = levels or auto_levels(n)
+    eps2 = jnp.float32(eps) ** 2
+    ext = _extent(pos, mass > 0)
+    c = min(chunk, i_pos.shape[0])
+    near = _near_field(i_pos, i_vel, i_mass, i_radius, i_ids,
+                       pos, vel, mass, radius, ext, levels, ring, eps2,
+                       jnp.float32(growth_rate), mode, neighbor_k, c)
+    far = _far_force(i_pos, pos, mass, ext, levels, ring, eps2, c)
+    far_acc = empty_accumulators(i_ids.astype(jnp.int32))._replace(
+        force=jnp.where((i_mass > 0)[:, None], far, 0.0))
     return combine_accumulators(near, far_acc)
 
 

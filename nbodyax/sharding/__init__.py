@@ -10,3 +10,4 @@ schedule (/root/reference/src/nbody.cu:186).
 
 from nbodyax.sharding.mesh import make_mesh, shard_state, pad_to_shards  # noqa: F401
 from nbodyax.sharding.ring import make_sharded_step, ring_accumulators  # noqa: F401
+from nbodyax.sharding.bh import make_sharded_bh_step  # noqa: F401

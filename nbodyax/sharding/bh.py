@@ -1,0 +1,84 @@
+"""Sharded Barnes-Hut step: compute-parallel hierarchical gravity.
+
+Design: bodies stay index-sharded (same placement as the exact ring); each
+step the full body set is all-gathered — 24 bytes/body over ICI, trivial next
+to the O(N * levels) math — every shard builds the (deterministic, identical)
+quadtree grids and sorted partner structure from the gathered arrays, and
+evaluates near+far accumulators *only for its local i slice*. Compute scales
+with the device count; memory is O(N) per device, which at the 4M-body target
+is ~100 MB — the right trade at this scale. True space-partitioned sharding
+(halo exchange, O(N/P) memory) is future work (NEXT.md).
+
+Collision resolution and integration mirror sharding/ring.py exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from nbodyax.config import SimConfig
+from nbodyax.physics.barneshut import bh_local_accumulators
+from nbodyax.physics.collisions import resolve_collisions
+from nbodyax.physics.step import PhysicsParams, finish_euler
+from nbodyax.sharding.mesh import AXIS, make_mesh
+from nbodyax.state import SimState
+
+__all__ = ["make_sharded_bh_step"]
+
+
+def make_sharded_bh_step(cfg: SimConfig,
+                         p: PhysicsParams,
+                         mesh: Mesh = None) -> Callable[[SimState], SimState]:
+    if p.integrator != "euler":
+        raise ValueError("the sharded bh step implements the euler "
+                         f"integrator only (got {p.integrator!r})")
+    if mesh is None:
+        mesh = make_mesh(cfg.shards)
+
+    def local_step(pos, vel, mass, radius):
+        n_local = pos.shape[0]
+        me = lax.axis_index(AXIS)
+        i_ids = (me * n_local
+                 + lax.broadcasted_iota(jnp.int32, (n_local, 1), 0).squeeze(-1))
+        g = lambda x: lax.all_gather(x, AXIS, tiled=True)
+        pos_g, vel_g = g(pos), g(vel)
+        mass_g, radius_g = g(mass), g(radius)
+
+        acc = bh_local_accumulators(
+            pos, vel, mass, radius, i_ids,
+            pos_g, vel_g, mass_g, radius_g,
+            eps=p.eps, growth_rate=p.growth_rate, mode=p.collision_mode,
+            levels=cfg.bh_levels, ring=cfg.bh_ring,
+            neighbor_k=cfg.bh_neighbor_k)
+
+        if p.collision_mode == "momentum":
+            # merge trees cross shards: resolve on gathered global arrays
+            acc_g = jax.tree.map(g, acc)
+            pos2_g, vel2_g, mass2_g, radius2_g = resolve_collisions(
+                pos_g, vel_g, mass_g, radius_g, acc_g, mode="momentum")
+            sl = lambda x: lax.dynamic_slice_in_dim(x, me * n_local, n_local)
+            pos2, vel2 = sl(pos2_g), sl(vel2_g)
+            mass2, radius2 = sl(mass2_g), sl(radius2_g)
+        else:
+            pos2, vel2, mass2, radius2 = resolve_collisions(
+                pos, vel, mass, radius, acc, mode=p.collision_mode)
+
+        return finish_euler(pos2, vel2, mass2, radius2, radius, acc.force, p)
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(AXIS),) * 4, out_specs=(P(AXIS),) * 4,
+        check_vma=False)
+
+    @jax.jit
+    def step(state: SimState) -> SimState:
+        pos, vel, mass, radius = sharded(state.pos, state.vel, state.mass,
+                                         state.radius)
+        return SimState(pos, vel, mass, radius, state.step + 1)
+
+    return step
