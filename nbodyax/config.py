@@ -97,6 +97,9 @@ class SimConfig:
     bh_ring: int = 1                      # near-window ring; 2 = ~10x better
                                           # far-field accuracy, more near work
     bh_neighbor_k: int = 32               # near-field partners kept per cell
+    bh_order: int = 2                     # far-field expansion: 1=monopole,
+                                          # 2=+quadrupole (default: ~5x less
+                                          # error, measured no slower on v5e)
     shards: int = 1                       # devices to shard bodies over
     scene: str = "uniform"                # uniform (reference) | galaxy | three_body
     # NOTE deliberately no bf16 knob: bf16's 8-bit mantissa quantizes default-
@@ -136,6 +139,8 @@ class SimConfig:
                 raise ConfigError("bhLevels must be 0 (auto) or in [2, 12]")
             if self.bh_neighbor_k < 1:
                 raise ConfigError("bhNeighborK must be >= 1")
+            if self.bh_order not in (1, 2):
+                raise ConfigError("bhOrder must be 1 or 2")
         return self
 
 
@@ -167,6 +172,7 @@ _KEYS = {
     "bhLevels": ("bh_levels", _stoi),
     "bhRing": ("bh_ring", _stoi),
     "bhNeighborK": ("bh_neighbor_k", _stoi),
+    "bhOrder": ("bh_order", _stoi),
     "shards": ("shards", _stoi),
     "scene": ("scene", lambda s, k: s.strip()),
     "compactEvery": ("compact_every", _stoi),

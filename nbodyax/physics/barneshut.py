@@ -83,28 +83,79 @@ def _cells(pos, ext, g):
     return (ux * g).astype(jnp.int32), (uy * g).astype(jnp.int32)
 
 
-def _level_grids(pos, mass, ext, levels):
+def _cell_centers_offsets(ext, g):
+    xmin, ymin, spanx, spany = ext
+    return xmin, ymin, spanx / g, spany / g
+
+
+def _level_grids(pos, mass, ext, levels, order=1):
+    """Per-level cell aggregates.
+
+    order=1: (M, Sx, Sy) with S about the origin (COM = S/M — adequate for
+    monopole). order=2 instead keeps moments about EACH CELL'S CENTER —
+    origin-relative second moments would catastrophically cancel in f32
+    (Q ~ M*cell^2 against raw terms ~ M*x^2) — and pools them with
+    parallel-axis shifts: about a new reference t_p = t_c + delta,
+        Sx' = Sx - M dx,  Sxx' = Sxx - 2 dx Sx + M dx^2,
+        Sxy' = Sxy - dx Sy - dy Sx + M dx dy   (x-t_p = (x-t_c) - delta).
+    """
     g = 1 << levels
     cx, cy = _cells(pos, ext, g)
     flat = cy * g + cx
     zero = jnp.zeros((g * g,), jnp.float32)
-    m = zero.at[flat].add(mass)           # dead bodies add 0
-    mx = zero.at[flat].add(mass * pos[:, 0])
-    my = zero.at[flat].add(mass * pos[:, 1])
-    grids = {levels: (m, mx, my)}
+    if order < 2:
+        chans = [mass, mass * pos[:, 0], mass * pos[:, 1]]
+        grids = {levels: tuple(zero.at[flat].add(c) for c in chans)}
+        for l in range(levels - 1, 1, -1):
+            s = 1 << (l + 1)
+            pool = lambda a: a.reshape(s // 2, 2, s // 2, 2).sum(
+                (1, 3)).reshape(-1)
+            grids[l] = tuple(pool(a.reshape(s, s)) for a in grids[l + 1])
+        return grids
+
+    # order 2: finest-level moments about each body's own cell center
+    xmin, ymin, sx, sy = _cell_centers_offsets(ext, g)
+    tx = xmin + (cx.astype(jnp.float32) + 0.5) * sx
+    ty = ymin + (cy.astype(jnp.float32) + 0.5) * sy
+    rx = pos[:, 0] - tx
+    ry = pos[:, 1] - ty
+    chans = [mass, mass * rx, mass * ry,
+             mass * rx * rx, mass * rx * ry, mass * ry * ry]
+    grids = {levels: tuple(zero.at[flat].add(c) for c in chans)}
     for l in range(levels - 1, 1, -1):
-        gm, gx, gy = grids[l + 1]
-        s = 1 << (l + 1)
+        s = 1 << (l + 1)                      # child grid side
+        M, Sx, Sy, Sxx, Sxy, Syy = (a.reshape(s, s) for a in grids[l + 1])
+        # child-center offset from parent center: +/- child_cell/2 per axis
+        _, _, csx, csy = _cell_centers_offsets(ext, s)
+        iy = lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        ix = lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        # delta = t_parent - t_child; child at even index sits at -child/2
+        dx = jnp.where(ix % 2 == 0, 0.5 * csx, -0.5 * csx)
+        dy = jnp.where(iy % 2 == 0, 0.5 * csy, -0.5 * csy)
+        Sxx2 = Sxx - 2.0 * dx * Sx + M * dx * dx
+        Sxy2 = Sxy - dx * Sy - dy * Sx + M * dx * dy
+        Syy2 = Syy - 2.0 * dy * Sy + M * dy * dy
+        Sx2 = Sx - M * dx
+        Sy2 = Sy - M * dy
         pool = lambda a: a.reshape(s // 2, 2, s // 2, 2).sum((1, 3)).reshape(-1)
-        grids[l] = (pool(gm.reshape(s, s)), pool(gx.reshape(s, s)),
-                    pool(gy.reshape(s, s)))
+        grids[l] = (pool(M), pool(Sx2), pool(Sy2),
+                    pool(Sxx2), pool(Sxy2), pool(Syy2))
     return grids
 
 
-def _far_force(i_pos, pos, mass, ext, levels, ring, eps2, chunk):
-    """Monopole far-field force for the i bodies (any subset), with grids
-    aggregated from the full (pos, mass) partner set."""
-    grids = _level_grids(pos, mass, ext, levels)
+def _far_force(i_pos, pos, mass, ext, levels, ring, eps2, chunk, order=1):
+    """Far-field force for the i bodies (any subset), with grids aggregated
+    from the full (pos, mass) partner set.
+
+    order=1: monopole (cell mass at its COM). order=2 adds the quadrupole
+    term — the second-order Taylor expansion of u/|u|^3 about the COM (the
+    first-order term vanishes there): with d = COM - p, r = |d|, and central
+    second moments Q,
+        F_quad = 1/2 [ -3 r^-5 (2 Q d + d tr Q) + 15 r^-7 (d^T Q d) d ],
+    cutting the opening-ratio error from O((s/d)^2) to O((s/d)^3) — roughly
+    ring=2 accuracy at ring=1 cost.
+    """
+    grids = _level_grids(pos, mass, ext, levels, order)
     n = i_pos.shape[0]
     win = 4 * ring + 2
     offy = lax.broadcasted_iota(jnp.int32, (win, win), 0).reshape(-1)
@@ -114,7 +165,7 @@ def _far_force(i_pos, pos, mass, ext, levels, ring, eps2, chunk):
     npad = nchunks * chunk
     pos_p = jnp.pad(i_pos, ((0, npad - n), (0, 0)))
 
-    packed = {l: jnp.stack(grids[l], axis=1) for l in grids}  # [cells, 3]
+    packed = {l: jnp.stack(grids[l], axis=1) for l in grids}  # [cells, 3|6]
 
     def one_chunk(c):
         pc = lax.dynamic_slice_in_dim(pos_p, c * chunk, chunk)
@@ -131,17 +182,57 @@ def _far_force(i_pos, pos, mass, ext, levels, ring, eps2, chunk):
             inb = (wx >= 0) & (wx < g) & (wy >= 0) & (wy < g)
             use = inb & ~near
             flat = jnp.clip(wy * g + wx, 0, g * g - 1)
-            cellrow = packed[l][flat]                  # [C, win^2, 3]
+            cellrow = packed[l][flat]                  # [C, win^2, 3|6]
             M = jnp.where(use, cellrow[..., 0], 0.0)
             has = M > 0
-            Minv = jnp.where(has, M, 1.0)
-            dx = jnp.where(has, cellrow[..., 1] / Minv - pc[:, 0:1], 0.0)
-            dy = jnp.where(has, cellrow[..., 2] / Minv - pc[:, 1:2], 0.0)
+            Minv = 1.0 / jnp.where(has, M, 1.0)
+            if order >= 2:
+                # moments are about the cell center (see _level_grids)
+                xmin, ymin, csx, csy = _cell_centers_offsets(ext, g)
+                tx = xmin + (wx.astype(jnp.float32) + 0.5) * csx
+                ty = ymin + (wy.astype(jnp.float32) + 0.5) * csy
+                comx = tx + cellrow[..., 1] * Minv
+                comy = ty + cellrow[..., 2] * Minv
+            else:
+                comx = cellrow[..., 1] * Minv
+                comy = cellrow[..., 2] * Minv
+            dx = jnp.where(has, comx - pc[:, 0:1], 0.0)
+            dy = jnp.where(has, comy - pc[:, 1:2], 0.0)
             d2 = dx * dx + dy * dy + eps2
             inv = lax.rsqrt(jnp.where(has, d2, 1.0))
-            wgt = jnp.where(has, M * (inv * inv * inv), 0.0)
-            force = force + jnp.stack([jnp.sum(wgt * dx, axis=1),
-                                       jnp.sum(wgt * dy, axis=1)], axis=1)
+            inv2 = inv * inv
+            inv3 = inv2 * inv
+            wgt = jnp.where(has, M * inv3, 0.0)
+            fx = wgt * dx
+            fy = wgt * dy
+            if order >= 2:
+                # central (about-COM) moments from about-center moments:
+                # Q = S2 - (S1/M) S1^T. Mask the channels FIRST (excluded
+                # cells keep Minv=1, and S1*S1 there reaches ~1e45 -> inf,
+                # which no later 0-multiply can cancel: inf*0 = NaN). Divide
+                # before squaring for the same overflow reason.
+                s1x = jnp.where(use, cellrow[..., 1], 0.0)
+                s1y = jnp.where(use, cellrow[..., 2], 0.0)
+                rbx = s1x * Minv
+                rby = s1y * Minv
+                qxx = jnp.where(use, cellrow[..., 3], 0.0) - rbx * s1x
+                qxy = jnp.where(use, cellrow[..., 4], 0.0) - rbx * s1y
+                qyy = jnp.where(use, cellrow[..., 5], 0.0) - rby * s1y
+                inv5 = inv3 * inv2
+                # scale by inv5 BEFORE contracting with d: raw d^T Q d can
+                # reach ~5e39 (Q ~ M cell^2 ~ 5e29, |d|^2 ~ 1e10) and
+                # overflows f32
+                u = (qxx * dx + qxy * dy) * inv5       # (Q d) r^-5
+                v = (qxy * dx + qyy * dy) * inv5
+                trq5 = (qxx + qyy) * inv5
+                dqd7 = (dx * u + dy * v) * inv2        # (d^T Q d) r^-7
+                coef = jnp.where(has, 1.0, 0.0)
+                fx = fx + coef * (-1.5 * (2.0 * u + dx * trq5)
+                                  + 7.5 * dqd7 * dx)
+                fy = fy + coef * (-1.5 * (2.0 * v + dy * trq5)
+                                  + 7.5 * dqd7 * dy)
+            force = force + jnp.stack([jnp.sum(fx, axis=1),
+                                       jnp.sum(fy, axis=1)], axis=1)
         return force
 
     if nchunks == 1:
@@ -304,7 +395,7 @@ def _near_field(i_pos, i_vel, i_mass, i_radius, i_ids,
 def bh_accumulators(pos, vel, mass, radius, *, eps: float = 0.0,
                     growth_rate: float = 0.1, mode: str = "reference",
                     levels: int = 0, ring: int = 1, neighbor_k: int = 32,
-                    chunk: int = 8192) -> PairAccumulators:
+                    order: int = 2, chunk: int = 8192) -> PairAccumulators:
     """Drop-in accum_fn (same interface as pair_accumulators): approximate
     far-field force + exact near-field force/collision accumulators."""
     n = pos.shape[0]
@@ -318,7 +409,8 @@ def bh_accumulators(pos, vel, mass, radius, *, eps: float = 0.0,
                        pos, vel, mass, radius, ext, levels, ring, eps2,
                        jnp.float32(growth_rate), mode, neighbor_k,
                        min(chunk, n))
-    far = _far_force(pos, pos, mass, ext, levels, ring, eps2, min(chunk, n))
+    far = _far_force(pos, pos, mass, ext, levels, ring, eps2, min(chunk, n),
+                     order)
     far_acc = empty_accumulators(ids)._replace(
         force=jnp.where(alive[:, None], far, 0.0))
     return combine_accumulators(near, far_acc)
@@ -328,6 +420,7 @@ def bh_local_accumulators(i_pos, i_vel, i_mass, i_radius, i_ids,
                           pos, vel, mass, radius, *, eps: float,
                           growth_rate: float, mode: str, levels: int = 0,
                           ring: int = 1, neighbor_k: int = 32,
+                          order: int = 2,
                           chunk: int = 8192) -> PairAccumulators:
     """Accumulators for a subset of bodies (the i side, with global ids)
     against the full global body set — the sharded-bh building block: each
@@ -341,7 +434,7 @@ def bh_local_accumulators(i_pos, i_vel, i_mass, i_radius, i_ids,
     near = _near_field(i_pos, i_vel, i_mass, i_radius, i_ids,
                        pos, vel, mass, radius, ext, levels, ring, eps2,
                        jnp.float32(growth_rate), mode, neighbor_k, c)
-    far = _far_force(i_pos, pos, mass, ext, levels, ring, eps2, c)
+    far = _far_force(i_pos, pos, mass, ext, levels, ring, eps2, c, order)
     far_acc = empty_accumulators(i_ids.astype(jnp.int32))._replace(
         force=jnp.where((i_mass > 0)[:, None], far, 0.0))
     return combine_accumulators(near, far_acc)

@@ -54,7 +54,7 @@ def make_sharded_bh_step(cfg: SimConfig,
             pos_g, vel_g, mass_g, radius_g,
             eps=p.eps, growth_rate=p.growth_rate, mode=p.collision_mode,
             levels=cfg.bh_levels, ring=cfg.bh_ring,
-            neighbor_k=cfg.bh_neighbor_k)
+            neighbor_k=cfg.bh_neighbor_k, order=cfg.bh_order)
 
         if p.collision_mode == "momentum":
             # merge trees cross shards: resolve on gathered global arrays

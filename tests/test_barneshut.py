@@ -106,3 +106,36 @@ def test_auto_levels():
     assert auto_levels(1024) == 4
     assert auto_levels(1_000_000) == 9
     assert auto_levels(100_000_000) == 10  # capped
+
+
+def test_quadrupole_improves_far_field():
+    """bhOrder=2 at ring=1 beats monopole by ~an order of magnitude."""
+    pos, vel, mass, radius = random_state(2048, seed=7)
+    ex = pair_accumulators(pos, vel, mass, radius, eps=50.0, mode="none")
+    mono = bh_accumulators(pos, vel, mass, radius, eps=50.0, mode="none",
+                           ring=1, levels=4, neighbor_k=64, order=1)
+    quad = bh_accumulators(pos, vel, mass, radius, eps=50.0, mode="none",
+                           ring=1, levels=4, neighbor_k=64, order=2)
+    err_m = rel_force_err(mono, ex)
+    err_q = rel_force_err(quad, ex)
+    assert err_q < err_m / 3
+    assert err_q < 0.01
+
+
+def test_quadrupole_field_scale_no_overflow():
+    """Regression: at reference field scale (1e5) with heavy masses the
+    quadrupole pipeline used to overflow f32 three different ways (S1^2,
+    d^T Q d, and inf*0 on masked cells). Must stay finite and beat monopole."""
+    rng = np.random.RandomState(3)
+    n = 2048
+    pos = rng.uniform(-1e5, 1e5, (n, 2)).astype(np.float32)
+    vel = np.zeros((n, 2), np.float32)
+    mass = rng.uniform(1e4, 1e17, n).astype(np.float32)
+    radius = rng.uniform(50, 200, n).astype(np.float32)
+    ex = pair_accumulators(pos, vel, mass, radius, eps=100.0, mode="none")
+    mono = bh_accumulators(pos, vel, mass, radius, eps=100.0, mode="none",
+                           ring=1, levels=5, neighbor_k=64, order=1)
+    quad = bh_accumulators(pos, vel, mass, radius, eps=100.0, mode="none",
+                           ring=1, levels=5, neighbor_k=64, order=2)
+    assert np.isfinite(np.asarray(quad.force)).all()
+    assert rel_force_err(quad, ex) < rel_force_err(mono, ex) / 2
