@@ -35,13 +35,17 @@ def test_mesh_has_8_fake_devices():
     assert mesh.devices.size == N_DEV
 
 
+@pytest.mark.parametrize("backend", ["jnp", "pallas"])
 @pytest.mark.parametrize("mode", ["reference", "momentum", "elastic"])
-def test_ring_accumulators_match_dense(mode):
+def test_ring_accumulators_match_dense(mode, backend):
+    """backend="pallas" runs the Pallas kernel in interpret mode inside the
+    ring — the exact code path a real v5e-8 executes (ring hop -> pallas
+    tile pass with nonzero j offsets), minus only the hardware lowering."""
     n = 256  # 32 bodies per shard
     st = random_state(n, seed=1)
     p = PhysicsParams(collision_mode=mode)
     mesh = make_mesh(N_DEV)
-    accum_fn = make_local_accum_fn("jnp", p)
+    accum_fn = make_local_accum_fn(backend, p)
 
     ringed = jax.jit(jax.shard_map(
         lambda pos, vel, m, r: ring_accumulators(
@@ -68,13 +72,14 @@ def test_ring_accumulators_match_dense(mode):
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("backend", ["jnp", "pallas"])
 @pytest.mark.parametrize("mode", ["reference", "momentum", "elastic"])
-def test_sharded_step_matches_single_device(mode):
+def test_sharded_step_matches_single_device(mode, backend):
     n = 256
     st = random_state(n, seed=2)
     p = PhysicsParams(dt=0.1, field_width=1000, field_height=1000,
                       collision_mode=mode)
-    cfg = SimConfig(shards=N_DEV, backend="jnp", collision_mode=mode)
+    cfg = SimConfig(shards=N_DEV, backend=backend, collision_mode=mode)
     mesh = make_mesh(N_DEV)
     st_sh = shard_state(pad_to_shards(st, N_DEV), mesh)
 
