@@ -58,18 +58,30 @@ def build_step(cfg: SimConfig,
     shards > 1, + split dispatches when capacity^2 exceeds the per-dispatch
     pair budget)."""
     p = PhysicsParams.from_config(cfg)
+    capacity = capacity or cfg.particle_count
     if cfg.shards > 1:
+        if (cfg.force_model != "bh"
+                and float(capacity) ** 2 / cfg.shards > MAX_PAIRS_PER_DISPATCH):
+            # the ring step runs each shard's full pass as ONE device
+            # dispatch of ~capacity^2/shards pairs; past the per-dispatch
+            # budget that execution can outlive device watchdogs (the limit
+            # the split-dispatch path exists to respect)
+            import warnings
+            warnings.warn(
+                f"sharded exact step: ~{float(capacity) ** 2 / cfg.shards:.2e}"
+                f" pairs per device dispatch exceeds the "
+                f"{MAX_PAIRS_PER_DISPATCH:.1e} per-dispatch budget; very long"
+                " uninterruptible device executions may hit runtime "
+                "watchdogs (use forceModel=bh or more shards at this N)")
         if cfg.force_model == "bh":
             from nbodyax.sharding.bh import make_sharded_bh_step
             return make_sharded_bh_step(cfg, p)
         from nbodyax.sharding.ring import make_sharded_step
         return make_sharded_step(cfg, p)
-    capacity = capacity or cfg.particle_count
     if cfg.force_model == "bh":
         return make_step(p, accum_fn=build_accum_fn(cfg.backend, p, cfg))
     n_splits = int(np.ceil(float(capacity) ** 2 / MAX_PAIRS_PER_DISPATCH))
-    if (n_splits > 1 and cfg.integrator == "euler"
-            and resolve_backend(cfg.backend) == "pallas"):
+    if n_splits > 1 and resolve_backend(cfg.backend) == "pallas":
         from nbodyax.physics.step import make_split_step
         step = make_split_step(p, n_splits)
         step._host_loop = True  # driver: don't wrap in lax.fori_loop

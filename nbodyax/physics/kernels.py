@@ -32,8 +32,12 @@ Accumulator channel layout (one f32[N, 8] array):
                                                as >0)
   ch5 best_mass                               (momentum; max-combined; stays
                                                _NEG_INF iff no candidate)
-  ch6 parent id as f32                        (momentum; combined with ch5)
-  ch7 unused
+  ch6, ch7 unused
+
+Momentum mode additionally emits an i32[N, 8] block (col 0 = parent body id,
+combined with ch5 across j-steps) so parent ids are exact at any N an i32 can
+index — ids used to ride an f32 channel, which capped momentum mode at 2^24
+bodies.
 """
 
 from __future__ import annotations
@@ -58,15 +62,7 @@ NUM_CH = 8
 DEFAULT_TILE_I = 1024  # tuned on v5e: sweep over (TI,TJ), 2026-08
 DEFAULT_TILE_J = 2048
 _NEG_INF = float(np.finfo(np.float32).min)  # sentinel for "no candidate"
-
-
-def check_momentum_id_range(mode: str, n: int) -> None:
-    """Momentum mode routes parent body ids through an f32 accumulator
-    channel, exact only up to 2^24 ids."""
-    if mode == "momentum" and n > (1 << 24):
-        raise ValueError(
-            "momentum mode routes parent body ids through an f32 channel, "
-            f"exact only up to 2^24 ids; got N={n}")
+_I32_MAX = np.iinfo(np.int32).max           # sentinel parent: no candidate
 
 
 def body_features(pos, vel, mass, radius) -> jax.Array:
@@ -85,12 +81,14 @@ def body_features(pos, vel, mass, radius) -> jax.Array:
                       mass, jnp.where(mass > 0, radius, 0.0), z, z], axis=1)
 
 
-def _pair_kernel(ioff_ref, joff_ref, xi_ref, xj_ref, out_ref, *,
+def _pair_kernel(ioff_ref, joff_ref, xi_ref, xj_ref, out_ref, *opt_refs,
                  mode: str, eps2: float, growth: float,
                  tile_i: int, tile_j: int):
     """One (i-tile, j-tile) visit. xi: [TI, F] body rows; xj: [F, TJ] body
     columns (pre-transposed on the host side so no in-kernel transposes are
-    needed); out: [TI, NUM_CH] accumulator rows, revisited across j."""
+    needed); out: [TI, NUM_CH] accumulator rows, revisited across j.
+    Momentum mode gets a second i32[TI, 8] output ref (col 0 = parent id)."""
+    par_ref = opt_refs[0] if mode == "momentum" else None
     jstep = pl.program_id(1)
 
     # i-side columns [TI, 1]
@@ -140,7 +138,7 @@ def _pair_kernel(ioff_ref, joff_ref, xi_ref, xj_ref, out_ref, *,
     zcol = jnp.zeros((tile_i, 1), jnp.float32)
     ch2 = ch3 = ch4 = zcol
     ch5 = jnp.full((tile_i, 1), _NEG_INF)
-    ch6 = i_ids.astype(jnp.float32)
+    best_j = None
 
     if mode == "reference":
         heavier = mi >= mj                 # nbody.cu:215 (>=: quirk Q1)
@@ -154,15 +152,13 @@ def _pair_kernel(ioff_ref, joff_ref, xi_ref, xj_ref, out_ref, *,
         cand = overlap & beats
         key = jnp.where(cand, mj, _NEG_INF)
         bm = jnp.max(key, axis=1, keepdims=True)
-        any_cand = bm > _NEG_INF
-        # tie-break equal best mass toward the lowest global j id
-        jf = j_ids.astype(jnp.float32)
-        order = jnp.where(cand & (key == bm), -jf, _NEG_INF)
-        best_j = -jnp.max(order, axis=1, keepdims=True)
+        # tie-break equal best mass toward the lowest global j id; exact i32
+        # (no candidate -> _I32_MAX sentinel, min-combines harmlessly)
+        jmin = jnp.where(cand & (key == bm), j_ids, _I32_MAX)
+        best_j = jnp.min(jmin, axis=1, keepdims=True)
         # no candidate-count channel needed: best_mass stays _NEG_INF iff no
         # candidate in any tile (max-combines), which decode_raw tests
         ch5 = bm
-        ch6 = jnp.where(any_cand, best_j, ch6)
     elif mode == "elastic":
         vxi, vyi = xi_ref[:, 2:3], xi_ref[:, 3:4]
         vxj, vyj = xj_ref[2:3, :], xj_ref[3:4, :]
@@ -182,23 +178,27 @@ def _pair_kernel(ioff_ref, joff_ref, xi_ref, xj_ref, out_ref, *,
         ch2 = jnp.sum(coef * dx, axis=1, keepdims=True)
         ch3 = jnp.sum(coef * dy, axis=1, keepdims=True)
 
-    block = jnp.concatenate([fx, fy, ch2, ch3, ch4, ch5, ch6, zcol], axis=1)
+    block = jnp.concatenate([fx, fy, ch2, ch3, ch4, ch5, zcol, zcol], axis=1)
+    zpar = (jnp.zeros((tile_i, 7), jnp.int32) if mode == "momentum" else None)
 
     @pl.when(jstep == 0)
     def _():
         out_ref[:] = block
+        if mode == "momentum":
+            par_ref[:] = jnp.concatenate([best_j, zpar], axis=1)
 
     @pl.when(jstep > 0)
     def _():
         prev = out_ref[:]
         add = prev[:, 0:5] + block[:, 0:5]
         if mode == "momentum":
-            old_bm, old_par = prev[:, 5:6], prev[:, 6:7]
-            new_bm, new_par = block[:, 5:6], block[:, 6:7]
-            win = (new_bm > old_bm) | ((new_bm == old_bm) & (new_par < old_par))
+            old_bm, new_bm = prev[:, 5:6], block[:, 5:6]
+            old_par = par_ref[:, 0:1]
+            win = (new_bm > old_bm) | ((new_bm == old_bm) & (best_j < old_par))
             tail = jnp.concatenate([jnp.maximum(old_bm, new_bm),
-                                    jnp.where(win, new_par, old_par),
-                                    prev[:, 7:8]], axis=1)
+                                    prev[:, 6:8]], axis=1)
+            par_ref[:] = jnp.concatenate(
+                [jnp.where(win, best_j, old_par), zpar], axis=1)
         else:
             tail = prev[:, 5:8]
         out_ref[:] = jnp.concatenate([add, tail], axis=1)
@@ -221,12 +221,14 @@ def tile_accumulators_raw(feats_i, feats_j_t, i_offset, j_offset, *,
                           mode: str, eps: float, growth_rate: float,
                           tile_i: int = DEFAULT_TILE_I,
                           tile_j: int = DEFAULT_TILE_J,
-                          interpret: Optional[bool] = None) -> jax.Array:
+                          interpret: Optional[bool] = None):
     """Raw channel accumulators of i bodies against j bodies.
 
     feats_i: f32[Ni, NUM_FEATS] (rows); feats_j_t: f32[NUM_FEATS, Nj]
     (pre-transposed columns). i_offset/j_offset: global index of row/column 0
-    (scalars; dynamic so ring hops don't retrace). Returns f32[Ni, NUM_CH].
+    (scalars; dynamic so ring hops don't retrace). Returns
+    (f32[Ni, NUM_CH], parent) where parent is i32[Ni, 8] (col 0 = parent id)
+    in momentum mode and None otherwise.
     """
     ni, nj = feats_i.shape[0], feats_j_t.shape[1]
     tile_i = min(tile_i, max(8, ni))
@@ -243,6 +245,16 @@ def tile_accumulators_raw(feats_i, feats_j_t, i_offset, j_offset, *,
         _pair_kernel, mode=mode, eps2=float(eps) ** 2,
         growth=float(np.float32(growth_rate)), tile_i=tile_i, tile_j=tile_j)
 
+    out_block = pl.BlockSpec((tile_i, NUM_CH), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM)
+    if mode == "momentum":
+        out_specs = [out_block, out_block]
+        out_shape = [jax.ShapeDtypeStruct((ni_pad, NUM_CH), jnp.float32),
+                     jax.ShapeDtypeStruct((ni_pad, NUM_CH), jnp.int32)]
+    else:
+        out_specs = out_block
+        out_shape = jax.ShapeDtypeStruct((ni_pad, NUM_CH), jnp.float32)
+
     flops_per_pair = 22 if mode != "none" else 14
     out = pl.pallas_call(
         kernel,
@@ -255,9 +267,8 @@ def tile_accumulators_raw(feats_i, feats_j_t, i_offset, j_offset, *,
             pl.BlockSpec((NUM_FEATS, tile_j), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_i, NUM_CH), lambda i, j: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ni_pad, NUM_CH), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             # default scoped limit (16M) is conservative; the 512x2048 tiles
@@ -273,11 +284,15 @@ def tile_accumulators_raw(feats_i, feats_j_t, i_offset, j_offset, *,
     )(jnp.asarray(i_offset, jnp.int32).reshape(1, 1),
       jnp.asarray(j_offset, jnp.int32).reshape(1, 1),
       feats_i, feats_j_t)
-    return out[:ni]
+    if mode == "momentum":
+        return out[0][:ni], out[1][:ni]
+    return out[:ni], None
 
 
-def decode_raw(raw, i_offset, mass_i, mode: str) -> PairAccumulators:
-    """Unpack the channel block into PairAccumulators (see module docstring).
+def decode_raw(raw, parent_raw, i_offset, mass_i, mode: str) -> PairAccumulators:
+    """Unpack the channel block(s) into PairAccumulators (see module
+    docstring). ``parent_raw`` is the momentum-mode i32 block (None for other
+    modes).
 
     The hot loop carries no alive-i masks (dead-i rows compute junk); they are
     zeroed here, once per i body, to match the oracle exactly.
@@ -300,7 +315,7 @@ def decode_raw(raw, i_offset, mass_i, mode: str) -> PairAccumulators:
     elif mode == "momentum":
         any_cand = (raw[:, 5] > _NEG_INF) & alive
         best_mass = jnp.where(any_cand, raw[:, 5], -jnp.inf)
-        parent = jnp.where(any_cand, raw[:, 6].astype(jnp.int32), ids)
+        parent = jnp.where(any_cand, parent_raw[:, 0], ids)
     elif mode == "elastic":
         dv = jnp.where(alive[:, None], raw[:, 2:4], 0.0)
     return PairAccumulators(force=force, gained_mass=gm, gained_radius=gr,
@@ -316,9 +331,8 @@ def pallas_pair_accumulators(pos, vel, mass, radius, *, eps: float = 0.0,
                              interpret: Optional[bool] = None
                              ) -> PairAccumulators:
     """Drop-in Pallas replacement for physics.pairwise.pair_accumulators."""
-    check_momentum_id_range(mode, pos.shape[0])
     feats = body_features(pos, vel, mass, radius)
-    raw = tile_accumulators_raw(feats, feats.T, 0, 0, mode=mode, eps=eps,
-                                growth_rate=growth_rate, tile_i=tile_i,
-                                tile_j=tile_j, interpret=interpret)
-    return decode_raw(raw, 0, mass, mode)
+    raw, par = tile_accumulators_raw(feats, feats.T, 0, 0, mode=mode, eps=eps,
+                                     growth_rate=growth_rate, tile_i=tile_i,
+                                     tile_j=tile_j, interpret=interpret)
+    return decode_raw(raw, par, 0, mass, mode)

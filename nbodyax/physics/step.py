@@ -105,6 +105,37 @@ def apply_euler_update(state: SimState, acc: PairAccumulators,
     return SimState(*out, state.step + 1)
 
 
+def half_kick_drift(pos2, vel2, force, p: PhysicsParams):
+    """Leapfrog first half (post-collision): half kick + full drift.
+    Returns (v_half, new_pos). Shared by the single-dispatch, split-dispatch,
+    ring-sharded, and bh-sharded leapfrog steps."""
+    dt = jnp.float32(p.dt)
+    accel = force * GRAV_CONSTANT
+    v_half = vel2 + accel * (dt / 2)
+    return v_half, pos2 + v_half * dt
+
+
+def finish_leapfrog(pos2, new_pos, v_half, mass2, radius2, force2,
+                    p: PhysicsParams):
+    """Leapfrog second half: final half kick from the second force pass,
+    then boundary + dead-slot freeze. Boundary semantics mirror the euler
+    modes as closely as the KDK structure allows: ``reference`` flips
+    velocity on an accel*dt probe and never clamps (quirk Q6 preserved);
+    ``clamp`` predicts with the real displacement and clamps positions."""
+    dt = jnp.float32(p.dt)
+    accel2 = force2 * GRAV_CONSTANT
+    new_vel = v_half + accel2 * (dt / 2)
+    if p.boundary_mode == "reference":
+        new_vel = _boundary_flip(new_pos, new_vel, radius2, accel2 * dt, p)
+    elif p.boundary_mode == "clamp":
+        new_vel = _boundary_flip(new_pos, new_vel, radius2, new_vel * dt, p)
+        new_pos = _clamp_positions(new_pos, radius2, p)
+    alive = (mass2 > 0)[:, None]
+    new_vel = jnp.where(alive, new_vel, 0.0)
+    new_pos = jnp.where(alive, new_pos, pos2)
+    return new_pos, new_vel, mass2, radius2
+
+
 def _boundary_flip(pos, vel, radius, probe_disp, p: PhysicsParams):
     """Reflective boundary: flip velocity components where pos + probe_disp
     would exit the per-axis interval [-(field - r), field - r]
@@ -135,18 +166,6 @@ def make_step(p: PhysicsParams,
         accum_fn = partial(pair_accumulators, eps=p.eps,
                            growth_rate=p.growth_rate, mode=p.collision_mode,
                            chunk=chunk)
-    dt = jnp.float32(p.dt)
-
-    def kick(pos, vel, mass, radius):
-        """One force+collision pass; returns post-collision state and accel."""
-        with jax.named_scope("pair_accumulators"):
-            acc = accum_fn(pos, vel, mass, radius)
-        with jax.named_scope("resolve_collisions"):
-            pos2, vel2, mass2, radius2 = resolve_collisions(
-                pos, vel, mass, radius, acc, mode=p.collision_mode)
-        accel = acc.force * GRAV_CONSTANT
-        return pos2, vel2, mass2, radius2, accel
-
     def euler_step(state: SimState) -> SimState:
         with jax.named_scope("pair_accumulators"):
             acc = accum_fn(state.pos, state.vel, state.mass, state.radius)
@@ -154,32 +173,16 @@ def make_step(p: PhysicsParams,
             return apply_euler_update(state, acc, p)
 
     def leapfrog_step(state: SimState) -> SimState:
-        """Kick-drift-kick with collision resolution at the first kick.
-
-        Boundary semantics mirror the euler modes as closely as the KDK
-        structure allows: ``reference`` flips velocity on an accel*dt probe
-        and never clamps (quirk Q6 preserved); ``clamp`` predicts with the
-        real displacement and clamps positions into the field.
-        """
-        pos, vel, mass, radius = state.pos, state.vel, state.mass, state.radius
-        pos2, vel2, mass2, radius2, accel = kick(pos, vel, mass, radius)
-        v_half = vel2 + accel * (dt / 2)
-        new_pos = pos2 + v_half * dt
+        """Kick-drift-kick with collision resolution at the first kick."""
+        acc = accum_fn(state.pos, state.vel, state.mass, state.radius)
+        pos2, vel2, mass2, radius2 = resolve_collisions(
+            state.pos, state.vel, state.mass, state.radius, acc,
+            mode=p.collision_mode)
+        v_half, new_pos = half_kick_drift(pos2, vel2, acc.force, p)
         acc2 = accum_fn(new_pos, v_half, mass2, radius2)
-        accel2 = acc2.force * GRAV_CONSTANT
-        new_vel = v_half + accel2 * (dt / 2)
-        if p.boundary_mode == "reference":
-            # Q6-faithful: accel*dt probe, flip only, no position clamp
-            new_vel = _boundary_flip(new_pos, new_vel, radius2,
-                                     accel2 * dt, p)
-        elif p.boundary_mode == "clamp":
-            new_vel = _boundary_flip(new_pos, new_vel, radius2,
-                                     new_vel * dt, p)
-            new_pos = _clamp_positions(new_pos, radius2, p)
-        alive = (mass2 > 0)[:, None]
-        new_vel = jnp.where(alive, new_vel, 0.0)
-        new_pos = jnp.where(alive, new_pos, pos2)
-        return SimState(new_pos, new_vel, mass2, radius2, state.step + 1)
+        out = finish_leapfrog(pos2, new_pos, v_half, mass2, radius2,
+                              acc2.force, p)
+        return SimState(*out, state.step + 1)
 
     step = euler_step if p.integrator == "euler" else leapfrog_step
     return jax.jit(step)
@@ -196,20 +199,18 @@ def make_split_step(p: PhysicsParams, n_splits: int,
     axon relay's TPU worker dies) and a scheduling black hole generally.
     Splitting the i-grid bounds each dispatch (~N^2/n_splits pairs) with zero
     redundant work; measured throughput is identical (1.17e11 pairs/s at N=4M
-    split x4). Host orchestration between dispatches, euler integrator only.
+    split x4). Host orchestration between dispatches; leapfrog runs the split
+    pair pass twice per step (KDK's second force evaluation).
     """
     from nbodyax.physics.kernels import (DEFAULT_TILE_I, DEFAULT_TILE_J,
-                                         body_features,
-                                         check_momentum_id_range, decode_raw,
+                                         body_features, decode_raw,
                                          tile_accumulators_raw)
-    if p.integrator != "euler":
-        raise ValueError("split-dispatch step supports the euler integrator")
     ti = tile_i or DEFAULT_TILE_I
     tj = tile_j or DEFAULT_TILE_J
 
     @jax.jit
-    def feats_fn(state: SimState):
-        f = body_features(state.pos, state.vel, state.mass, state.radius)
+    def feats_fn(pos, vel, mass, radius):
+        f = body_features(pos, vel, mass, radius)
         return f, f.T
 
     @partial(jax.jit, static_argnames=())
@@ -219,24 +220,52 @@ def make_split_step(p: PhysicsParams, n_splits: int,
                                      growth_rate=p.growth_rate,
                                      tile_i=ti, tile_j=tj)
 
-    @jax.jit
-    def commit(state: SimState, raw) -> SimState:
-        acc = decode_raw(raw, 0, state.mass, p.collision_mode)
-        return apply_euler_update(state, acc, p)
-
-    def step(state: SimState) -> SimState:
-        n = state.capacity
-        check_momentum_id_range(p.collision_mode, n)
+    def split_accum(pos, vel, mass, radius):
+        """n_splits bounded dispatches over i-ranges -> (raw, parent)."""
+        n = pos.shape[0]
         csize = -(-n // n_splits)
-        fi, fjt = feats_fn(state)
-        raws = []
+        fi, fjt = feats_fn(pos, vel, mass, radius)
+        raws, pars = [], []
         for c in range(n_splits):
             s = c * csize
             e = min(n, s + csize)
             if s >= e:
                 break
-            raws.append(chunk_raw(jax.lax.slice_in_dim(fi, s, e), fjt, s))
+            r, pr = chunk_raw(jax.lax.slice_in_dim(fi, s, e), fjt, s)
+            raws.append(r)
+            pars.append(pr)
         raw = jnp.concatenate(raws, axis=0)
-        return commit(state, raw)
+        par = (jnp.concatenate(pars, axis=0) if pars[0] is not None else None)
+        return raw, par
+
+    @jax.jit
+    def commit_euler(state: SimState, raw, par) -> SimState:
+        acc = decode_raw(raw, par, 0, state.mass, p.collision_mode)
+        return apply_euler_update(state, acc, p)
+
+    @jax.jit
+    def begin_leapfrog(state: SimState, raw, par):
+        acc = decode_raw(raw, par, 0, state.mass, p.collision_mode)
+        pos2, vel2, mass2, radius2 = resolve_collisions(
+            state.pos, state.vel, state.mass, state.radius, acc,
+            mode=p.collision_mode)
+        v_half, new_pos = half_kick_drift(pos2, vel2, acc.force, p)
+        return pos2, new_pos, v_half, mass2, radius2
+
+    @jax.jit
+    def commit_leapfrog(step_count, pos2, new_pos, v_half, mass2, radius2,
+                        raw2, par2) -> SimState:
+        acc2 = decode_raw(raw2, par2, 0, mass2, p.collision_mode)
+        out = finish_leapfrog(pos2, new_pos, v_half, mass2, radius2,
+                              acc2.force, p)
+        return SimState(*out, step_count + 1)
+
+    def step(state: SimState) -> SimState:
+        raw, par = split_accum(state.pos, state.vel, state.mass, state.radius)
+        if p.integrator == "euler":
+            return commit_euler(state, raw, par)
+        mid = begin_leapfrog(state, raw, par)
+        raw2, par2 = split_accum(mid[1], mid[2], mid[3], mid[4])
+        return commit_leapfrog(state.step, *mid, raw2, par2)
 
     return step

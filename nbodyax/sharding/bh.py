@@ -24,7 +24,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from nbodyax.config import SimConfig
 from nbodyax.physics.barneshut import bh_local_accumulators
 from nbodyax.physics.collisions import resolve_collisions
-from nbodyax.physics.step import PhysicsParams, finish_euler
+from nbodyax.physics.step import (PhysicsParams, finish_euler,
+                                  finish_leapfrog, half_kick_drift)
 from nbodyax.sharding.mesh import AXIS, make_mesh
 from nbodyax.state import SimState
 
@@ -34,9 +35,6 @@ __all__ = ["make_sharded_bh_step"]
 def make_sharded_bh_step(cfg: SimConfig,
                          p: PhysicsParams,
                          mesh: Mesh = None) -> Callable[[SimState], SimState]:
-    if p.integrator != "euler":
-        raise ValueError("the sharded bh step implements the euler "
-                         f"integrator only (got {p.integrator!r})")
     if mesh is None:
         mesh = make_mesh(cfg.shards)
 
@@ -46,21 +44,22 @@ def make_sharded_bh_step(cfg: SimConfig,
         i_ids = (me * n_local
                  + lax.broadcasted_iota(jnp.int32, (n_local, 1), 0).squeeze(-1))
         g = lambda x: lax.all_gather(x, AXIS, tiled=True)
-        pos_g, vel_g = g(pos), g(vel)
-        mass_g, radius_g = g(mass), g(radius)
 
-        acc = bh_local_accumulators(
-            pos, vel, mass, radius, i_ids,
-            pos_g, vel_g, mass_g, radius_g,
-            eps=p.eps, growth_rate=p.growth_rate, mode=p.collision_mode,
-            levels=cfg.bh_levels, ring=cfg.bh_ring,
-            neighbor_k=cfg.bh_neighbor_k, order=cfg.bh_order)
+        def bh_acc(lp, lv, lm, lr):
+            """Gather the full body set, evaluate bh for the local i slice."""
+            return bh_local_accumulators(
+                lp, lv, lm, lr, i_ids, g(lp), g(lv), g(lm), g(lr),
+                eps=p.eps, growth_rate=p.growth_rate, mode=p.collision_mode,
+                levels=cfg.bh_levels, ring=cfg.bh_ring,
+                neighbor_k=cfg.bh_neighbor_k, order=cfg.bh_order)
+
+        acc = bh_acc(pos, vel, mass, radius)
 
         if p.collision_mode == "momentum":
             # merge trees cross shards: resolve on gathered global arrays
             acc_g = jax.tree.map(g, acc)
             pos2_g, vel2_g, mass2_g, radius2_g = resolve_collisions(
-                pos_g, vel_g, mass_g, radius_g, acc_g, mode="momentum")
+                g(pos), g(vel), g(mass), g(radius), acc_g, mode="momentum")
             sl = lambda x: lax.dynamic_slice_in_dim(x, me * n_local, n_local)
             pos2, vel2 = sl(pos2_g), sl(vel2_g)
             mass2, radius2 = sl(mass2_g), sl(radius2_g)
@@ -68,7 +67,13 @@ def make_sharded_bh_step(cfg: SimConfig,
             pos2, vel2, mass2, radius2 = resolve_collisions(
                 pos, vel, mass, radius, acc, mode=p.collision_mode)
 
-        return finish_euler(pos2, vel2, mass2, radius2, radius, acc.force, p)
+        if p.integrator == "euler":
+            return finish_euler(pos2, vel2, mass2, radius2, radius,
+                                acc.force, p)
+        v_half, new_pos = half_kick_drift(pos2, vel2, acc.force, p)
+        acc2 = bh_acc(new_pos, v_half, mass2, radius2)  # KDK second pass
+        return finish_leapfrog(pos2, new_pos, v_half, mass2, radius2,
+                               acc2.force, p)
 
     sharded = jax.shard_map(
         local_step, mesh=mesh,

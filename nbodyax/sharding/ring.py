@@ -57,10 +57,10 @@ def make_local_accum_fn(backend: str, p: PhysicsParams):
         def accum(pi, vi, mi, ri, i_off, pj, vj, mj, rj, j_off):
             fi = body_features(pi, vi, mi, ri)
             fj = body_features(pj, vj, mj, rj).T
-            raw = tile_accumulators_raw(fi, fj, i_off, j_off,
-                                        mode=p.collision_mode, eps=p.eps,
-                                        growth_rate=p.growth_rate)
-            return decode_raw(raw, i_off, mi, p.collision_mode)
+            raw, par = tile_accumulators_raw(fi, fj, i_off, j_off,
+                                             mode=p.collision_mode, eps=p.eps,
+                                             growth_rate=p.growth_rate)
+            return decode_raw(raw, par, i_off, mi, p.collision_mode)
         return accum
 
     def accum(pi, vi, mi, ri, i_off, pj, vj, mj, rj, j_off):
@@ -118,33 +118,26 @@ def ring_accumulators(pos, vel, mass, radius, *, n_shards: int,
 
 def make_sharded_step(cfg: SimConfig, p: PhysicsParams,
                       mesh: Mesh = None) -> Callable[[SimState], SimState]:
-    """jit-compiled full step over a sharded SimState (euler integrator).
+    """jit-compiled full step over a sharded SimState.
 
-    Physics order matches physics/step.py's euler_step exactly; the only
-    difference is where the pair accumulators come from (the ring) and that
-    momentum-mode merge resolution all-gathers.
+    Physics order matches physics/step.py exactly (euler or leapfrog); the
+    only differences are where the pair accumulators come from (the ring —
+    leapfrog's KDK runs it twice per step) and that momentum-mode merge
+    resolution all-gathers.
     """
-    if p.integrator != "euler":
-        raise ValueError("the sharded ring step implements the euler "
-                         "integrator only (got integrator="
-                         f"{p.integrator!r})")
     if mesh is None:
         mesh = make_mesh(cfg.shards)
     n_shards = mesh.devices.size
     accum_fn = make_local_accum_fn(cfg.backend, p)
 
     def local_step(pos, vel, mass, radius):
-        from nbodyax.physics.step import finish_euler
+        from nbodyax.physics.step import (finish_euler, finish_leapfrog,
+                                          half_kick_drift)
 
-        if (p.collision_mode == "momentum"
-                and pos.shape[0] * n_shards > (1 << 24)):
-            raise ValueError(
-                "momentum mode routes parent ids through an f32 channel, "
-                f"exact only up to 2^24 ids; got N={pos.shape[0] * n_shards}")
-
-        acc = ring_accumulators(pos, vel, mass, radius, n_shards=n_shards,
-                                accum_fn=accum_fn,
-                                need_vel=p.collision_mode == "elastic")
+        ring = partial(ring_accumulators, n_shards=n_shards,
+                       accum_fn=accum_fn,
+                       need_vel=p.collision_mode == "elastic")
+        acc = ring(pos, vel, mass, radius)
 
         if p.collision_mode == "momentum":
             # merge trees cross shards: resolve replicated on gathered arrays
@@ -163,7 +156,13 @@ def make_sharded_step(cfg: SimConfig, p: PhysicsParams,
             pos2, vel2, mass2, radius2 = resolve_collisions(
                 pos, vel, mass, radius, acc, mode=p.collision_mode)
 
-        return finish_euler(pos2, vel2, mass2, radius2, radius, acc.force, p)
+        if p.integrator == "euler":
+            return finish_euler(pos2, vel2, mass2, radius2, radius,
+                                acc.force, p)
+        v_half, new_pos = half_kick_drift(pos2, vel2, acc.force, p)
+        acc2 = ring(new_pos, v_half, mass2, radius2)  # KDK second force pass
+        return finish_leapfrog(pos2, new_pos, v_half, mass2, radius2,
+                               acc2.force, p)
 
     sharded = jax.shard_map(
         local_step, mesh=mesh,

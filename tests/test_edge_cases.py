@@ -54,14 +54,33 @@ def test_two_coincident_bodies_merge_not_nan():
     assert float(out.mass[0]) == 7.0 and float(out.mass[1]) == 0.0
 
 
-def test_momentum_id_guard():
-    n = (1 << 24) + 8
-    # broadcast views: zero allocation, the guard only reads the shape
-    z2 = np.broadcast_to(np.float32(0), (n, 2))
-    z1 = np.broadcast_to(np.float32(1), (n,))
-    with pytest.raises(ValueError, match="2\\^24"):
-        pallas_pair_accumulators(z2, z2, z1, z1, mode="momentum",
-                                 growth_rate=0.1, interpret=True)
+def test_momentum_parent_ids_exact_beyond_2pow24():
+    """Parent ids ride a dedicated i32 kernel output, so momentum mode is
+    exact at any i32-indexable N (the f32 channel used to cap it at 2^24).
+    Exercised via tile offsets: a small tile whose *global* ids sit beyond
+    2^24 — the id arithmetic is identical to a genuine 32M-body run's."""
+    from nbodyax.physics.kernels import body_features, decode_raw, \
+        tile_accumulators_raw
+    base = (1 << 25) + 3  # > 2^24; (1<<25)+3 is not f32-representable
+    n = 8
+    pos = np.zeros((n, 2), np.float32)
+    pos[:, 0] = np.arange(n) * 1000.0  # far apart except the pair below
+    pos[1, 0] = pos[0, 0] + 5.0        # bodies 0 and 1 overlap
+    vel = np.zeros((n, 2), np.float32)
+    mass = np.arange(1, n + 1, dtype=np.float32)
+    radius = np.full(n, 10.0, np.float32)
+    feats = body_features(
+        np.asarray(pos), np.asarray(vel), np.asarray(mass), np.asarray(radius))
+    raw, par = tile_accumulators_raw(feats, feats.T, base, base,
+                                     mode="momentum", eps=0.0,
+                                     growth_rate=0.1, tile_i=8, tile_j=128,
+                                     interpret=True)
+    acc = decode_raw(raw, par, base, np.asarray(mass), "momentum")
+    parent = np.asarray(acc.parent)
+    assert parent[0] == base + 1          # 0 merges into heavier 1, exactly
+    assert float(np.asarray(acc.best_mass)[0]) == 2.0
+    # non-overlapping bodies stay self-parented at their exact global ids
+    np.testing.assert_array_equal(parent[2:], base + np.arange(2, n))
 
 
 @pytest.mark.parametrize("m,exact", [(1e20, True), (1e36, False)])

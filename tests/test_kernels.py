@@ -80,14 +80,16 @@ def test_kernel_offset_partition_equals_full():
     # i rows 32..64 against j halves with correct global offsets
     i0, i1 = 32, 64
     fi = feats[i0:i1]
-    rawA = tile_accumulators_raw(fi, feats[:half].T, i0, 0,
-                                 mode="momentum", eps=0.0, growth_rate=0.1,
-                                 tile_i=8, tile_j=128, interpret=True)
-    rawB = tile_accumulators_raw(fi, feats[half:].T, i0, half,
-                                 mode="momentum", eps=0.0, growth_rate=0.1,
-                                 tile_i=8, tile_j=128, interpret=True)
-    accA = decode_raw(rawA, i0, mass[i0:i1], "momentum")
-    accB = decode_raw(rawB, i0, mass[i0:i1], "momentum")
+    rawA, parA = tile_accumulators_raw(fi, feats[:half].T, i0, 0,
+                                       mode="momentum", eps=0.0,
+                                       growth_rate=0.1, tile_i=8, tile_j=128,
+                                       interpret=True)
+    rawB, parB = tile_accumulators_raw(fi, feats[half:].T, i0, half,
+                                       mode="momentum", eps=0.0,
+                                       growth_rate=0.1, tile_i=8, tile_j=128,
+                                       interpret=True)
+    accA = decode_raw(rawA, parA, i0, mass[i0:i1], "momentum")
+    accB = decode_raw(rawB, parB, i0, mass[i0:i1], "momentum")
     combined = combine_accumulators(accA, accB)
     full = pair_accumulators(pos, vel, mass, radius, mode="momentum",
                              growth_rate=0.1)

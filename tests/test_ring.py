@@ -131,3 +131,28 @@ def test_padded_capacity_not_multiple_of_shards():
     np.testing.assert_allclose(np.asarray(out.pos)[:n], np.asarray(ref.pos),
                                rtol=1e-5, atol=1e-4)
     assert np.all(np.asarray(out.mass)[n:] == 0)  # padding stays dead
+
+
+@pytest.mark.parametrize("mode", ["reference", "momentum", "elastic"])
+def test_sharded_leapfrog_matches_single_device(mode):
+    """integrator=leapfrog x shards>1: the ring runs KDK's two force passes."""
+    n = 256
+    st = random_state(n, seed=3)
+    p = PhysicsParams(dt=0.1, field_width=1000, field_height=1000,
+                      collision_mode=mode, integrator="leapfrog")
+    cfg = SimConfig(shards=N_DEV, backend="jnp", collision_mode=mode,
+                    integrator="leapfrog")
+    mesh = make_mesh(N_DEV)
+    sharded = make_sharded_step(cfg, p, mesh=mesh)
+    single = make_step(p)
+    a = shard_state(pad_to_shards(st, N_DEV), mesh)
+    b = st
+    for _ in range(3):
+        a = sharded(a)
+        b = single(b)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(a.mass), np.asarray(b.mass),
+                               rtol=1e-6)

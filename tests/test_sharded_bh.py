@@ -77,3 +77,26 @@ def test_driver_routes_sharded_bh():
                      make_mesh(N_DEV))
     out = step(st)
     assert np.isfinite(np.asarray(out.pos)).all()
+
+
+def test_sharded_bh_leapfrog_matches_single_device():
+    n = 256
+    st = random_state(n, seed=7)
+    p = PhysicsParams(dt=0.05, field_width=2000, field_height=2000, eps=20.0,
+                      integrator="leapfrog")
+    cfg = SimConfig(shards=N_DEV, force_model="bh", bh_levels=3,
+                    bh_neighbor_k=128, softening=20.0, integrator="leapfrog")
+    mesh = make_mesh(N_DEV)
+    sharded = make_sharded_bh_step(cfg, p, mesh=mesh)
+    single = make_step(p, accum_fn=partial(
+        bh_accumulators, eps=p.eps, growth_rate=p.growth_rate,
+        mode="reference", levels=3, neighbor_k=128))
+    a = shard_state(pad_to_shards(st, N_DEV), mesh)
+    b = st
+    for _ in range(3):
+        a = sharded(a)
+        b = single(b)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos),
+                               rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel),
+                               rtol=1e-4, atol=1e-2)
