@@ -57,6 +57,12 @@ def main(argv=None) -> int:
         if args.config != "nbodyConfig.txt":
             print(f"Error opening config file! ({args.config})", file=sys.stderr)
             return 1
+        # the reference hard-errors here (nbodyConfig.h:26-28); we fall back
+        # to built-in defaults but say so, so a typo'd cwd is visible before
+        # a multi-minute default run starts
+        print("No nbodyConfig.txt found; running the built-in default scene "
+              "(pass --config or cd to the config's directory)",
+              file=sys.stderr)
         cfg = SimConfig()
     cfg = apply_overrides(cfg, args.set)
     if args.steps is not None:

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
-from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -158,32 +157,42 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                             cfg.compact_every) if c]
     stride = math.gcd(*cadences) if cadences else 64
 
-    if getattr(step, "_host_loop", False):
-        # split-dispatch step: orchestrated on the host, one call per step
-        advance = partial(_run_k, step, k=stride)
-    elif stride == 1:
-        advance = step
-    else:
-        @jax.jit
-        def run_stride(s):
-            return jax.lax.fori_loop(0, stride, lambda i, st: step(st), s)
-        advance = run_stride
+    host_loop = getattr(step, "_host_loop", False)
+    runners = {1: step}
+
+    def advance_k(s, k):
+        """k steps as one device dispatch (jitted fori_loop, cached per k);
+        the split-dispatch step stays host-orchestrated."""
+        if host_loop:
+            return _run_k(step, s, k)
+        run = runners.get(k)
+        if run is None:
+            @jax.jit
+            def run(s, _k=k):
+                return jax.lax.fori_loop(0, _k, lambda i, st: step(st), s)
+            runners[k] = run
+        return run(s)
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
     try:
         iteration = start_step
         while iteration < cfg.total_iterations:
-            # reference renders every k-th iteration's *pre-step* state
-            # (nbody.cu:529-538 renders after compaction, before the next
-            # ComputeForces)
+            k = min(stride, cfg.total_iterations - iteration)
+            meter.start()
             if writer is not None and iteration % cfg.save_image_every == 0:
+                # reference frame iteration_j holds *post-step-j* state: the
+                # render launches after iteration j's kernels, under j's index
+                # (nbody.cu:529-538). Advance one step, render, realign to
+                # the stride grid.
+                state = advance_k(state, 1)
                 img = render_state(state, cfg)
                 writer.submit(iteration, img)   # async host write
                 frames += 1
-            k = min(stride, cfg.total_iterations - iteration)
-            meter.start()
-            state = advance(state) if k == stride else _run_k(step, state, k)
+                if k > 1:
+                    state = advance_k(state, k - 1)
+            else:
+                state = advance_k(state, k)
             meter.stop(state, steps=k)
             iteration += k
             if cfg.log_every and iteration % cfg.log_every == 0:
@@ -195,10 +204,15 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                     scal["bh_overflow"] = overflow_count(
                         state.pos, state.mass, levels=cfg.bh_levels,
                         neighbor_k=cfg.bh_neighbor_k)
+                # bh does O(N*levels) work, not capacity^2: label its pair
+                # rate as *equivalent*-exact so the JSONL is self-describing
+                pairs_key = ("equivalent_pairs_per_sec"
+                             if cfg.force_model == "bh" else "pairs_per_sec")
                 logger.log(step=iteration,
                            wall_ms=meter.elapsed / meter.steps * 1e3,
                            steps_per_sec=meter.steps_per_sec,
-                           pairs_per_sec=meter.pairs_per_sec,
+                           force_model=cfg.force_model,
+                           **{pairs_key: meter.pairs_per_sec},
                            **scal)
             if cfg.checkpoint_every and \
                     iteration % cfg.checkpoint_every == 0:

@@ -41,13 +41,18 @@ BODY = 0          # nbody.cu:344
 
 
 @partial(jax.jit, static_argnames=("img_width", "img_height", "field_width",
-                                   "field_height", "patch"))
+                                   "field_height", "patch", "big_k"))
 def rasterize(pos, mass, radius, *, img_width: int, img_height: int,
-              field_width: int, field_height: int, patch: int = 32):
+              field_width: int, field_height: int, patch: int = 32,
+              big_k: int = 8):
     """Render live bodies as filled discs. Returns uint8[img_height, img_width].
 
-    ``patch`` is the static scatter window edge; discs larger than the window
-    are cropped (cosmetic path — callers size it from max expected radius).
+    ``patch`` is the static scatter window edge. Discs wider than the window
+    (dominant absorbers after many merges) are handled by a second dense
+    full-image pass over the ``big_k`` largest such bodies, so they render
+    complete instead of cropped — with static shapes, no recompiles. Beyond
+    ``big_k`` *simultaneously* oversized discs the remainder degrade to the
+    cropped patch (cosmetic; big_k=8 covers any realistic merge outcome).
     """
     n = pos.shape[0]
     fw2, fh2 = 2.0 * field_width, 2.0 * field_height
@@ -89,7 +94,27 @@ def rasterize(pos, mass, radius, *, img_width: int, img_height: int,
                      flat, img_width * img_height)
     img = jnp.full((img_width * img_height,), BACKGROUND, jnp.uint8)
     img = img.at[flat.reshape(-1)].min(jnp.uint8(BODY), mode="drop")
-    return img.reshape(img_height, img_width)
+    img = img.reshape(img_height, img_width)
+
+    # dense pass for discs the patch window would crop: top big_k oversized
+    # bodies painted over the whole image with the same reference pixel math
+    # (min semantics: body value 0 wins, double-painting is harmless)
+    big_k = min(big_k, n)
+    if big_k > 0:
+        oversized = (2.0 * r_px + 2.0 > patch) & (mass > 0)
+        vals, sel = jax.lax.top_k(jnp.where(oversized, r_px, -1.0), big_k)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (img_height, img_width), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (img_height, img_width), 1)
+
+        def one_big(val, b):
+            inside_b = ((xs - cx[b]) ** 2 + (ys - cy[b]) ** 2) <= r2i[b]
+            box_b = ((xs >= x_min[b]) & (xs < x_max[b]) &
+                     (ys >= y_min[b]) & (ys < y_max[b]))
+            return inside_b & box_b & (val > 0)
+
+        big_mask = jnp.any(jax.vmap(one_big)(vals, sel), axis=0)
+        img = jnp.where(big_mask, jnp.uint8(BODY), img)
+    return img
 
 
 def render_state(state: SimState, cfg) -> jax.Array:

@@ -3,6 +3,12 @@
 ``python -m nbodyax.tools gif <frame_dir> [out.gif] [--fps 20] [--scale 1]``
 assembles the ``iteration_*.ppm`` frames a run produced (the reference's
 visual-regression artifact, nbody.cu:513-522) into an animated GIF.
+
+``python -m nbodyax.tools dump <checkpoint> [--limit K] [--alive-only]``
+prints per-body state rows from a checkpoint — the analog of the reference's
+``printData()`` manual-inspection dump (nbody.cu:112-123), reading the
+persisted state instead of in-RAM arrays (a checkpoint holds the full
+pytree, io/checkpoint.py).
 """
 
 from __future__ import annotations
@@ -60,6 +66,38 @@ def make_gif(frame_dir: str, out: str = "", fps: float = 20.0,
     return out
 
 
+def dump_checkpoint(path: str, limit: int = 0, alive_only: bool = False,
+                    out=None) -> int:
+    """Print per-body rows (printData analog, nbody.cu:112-123). Returns the
+    number of bodies printed."""
+    out = out or sys.stdout
+    from nbodyax.io.checkpoint import load_checkpoint
+    state = load_checkpoint(path)
+    pos = np.asarray(state.pos)
+    vel = np.asarray(state.vel)
+    mass = np.asarray(state.mass)
+    radius = np.asarray(state.radius)
+    alive = mass > 0
+    print(f"Checkpoint {path}: step {int(np.asarray(state.step))}, "
+          f"{int(alive.sum())} alive / {mass.shape[0]} slots", file=out)
+    printed = 0
+    for i in range(mass.shape[0]):
+        if alive_only and not alive[i]:
+            continue
+        if limit and printed >= limit:
+            print(f"... ({mass.shape[0] - i} more slots)", file=out)
+            break
+        # same fields and precision as the reference's printData
+        print(f"Body #{i}{'' if alive[i] else ' (dead)'}", file=out)
+        print(f"Position: ({pos[i, 0]:.4f}, {pos[i, 1]:.4f})", file=out)
+        print(f"Velocity: ({vel[i, 0]:.4f}, {vel[i, 1]:.4f})", file=out)
+        print(f"Mass: {mass[i]:.4f}", file=out)
+        print(f"Radius: {radius[i]:.4f}", file=out)
+        print("--------------", file=out)
+        printed += 1
+    return printed
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="nbodyax.tools")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -69,10 +107,18 @@ def main(argv=None) -> int:
     g.add_argument("--fps", type=float, default=20.0)
     g.add_argument("--scale", type=int, default=1,
                    help="downsample factor (2 = half resolution)")
+    d = sub.add_parser("dump", help="print per-body state from a checkpoint "
+                                    "(the reference's printData analog)")
+    d.add_argument("checkpoint")
+    d.add_argument("--limit", type=int, default=0,
+                   help="print at most K bodies (0 = all)")
+    d.add_argument("--alive-only", action="store_true")
     args = ap.parse_args(argv)
     if args.cmd == "gif":
         out = make_gif(args.frame_dir, args.out, args.fps, args.scale)
         print(f"wrote {out} ({len(list_frames(args.frame_dir))} frames)")
+    elif args.cmd == "dump":
+        dump_checkpoint(args.checkpoint, args.limit, args.alive_only)
     return 0
 
 

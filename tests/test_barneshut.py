@@ -139,3 +139,46 @@ def test_quadrupole_field_scale_no_overflow():
                            ring=1, levels=5, neighbor_k=64, order=2)
     assert np.isfinite(np.asarray(quad.force)).all()
     assert rel_force_err(quad, ex) < rel_force_err(mono, ex) / 2
+
+
+def test_bh_momentum_drift_bounded_long_run():
+    """The monopole/quadrupole far field is not exactly antisymmetric, so
+    total momentum drifts — but it must stay at the far-field error level
+    (documented approximation #3): over a 150-step collisionless run the
+    accumulated drift is bounded by tol_ff x the gross impulse exchanged."""
+    from functools import partial
+    from nbodyax.physics.step import PhysicsParams, make_step
+    from nbodyax.state import make_state
+
+    rng = np.random.RandomState(9)
+    n, field = 512, 5000.0
+    pos = rng.uniform(-field, field, (n, 2)).astype(np.float32)
+    vel = rng.uniform(-3, 3, (n, 2)).astype(np.float32)
+    # heavy bodies (like real scenes): G * m / d^2 must be resolvable in f32
+    mass = (10.0 ** rng.uniform(12, 15, n)).astype(np.float32)
+    radius = rng.uniform(1, 2, n).astype(np.float32)
+    big = 1e9  # no boundary flips: velocity flips change momentum legitimately
+    p = PhysicsParams(dt=0.2, field_width=big, field_height=big,
+                      eps=50.0, collision_mode="none")
+    step = make_step(p, accum_fn=partial(
+        bh_accumulators, eps=50.0, growth_rate=0.1, mode="none",
+        levels=4, ring=2, neighbor_k=64))
+    st = make_state(pos, vel, mass, radius)
+
+    def momentum(s):
+        return (np.asarray(s.mass, np.float64)[:, None]
+                * np.asarray(s.vel, np.float64)).sum(axis=0)
+
+    p0 = momentum(st)
+    gross_impulse = 0.0
+    prev_vel = np.asarray(st.vel, np.float64)
+    for _ in range(150):
+        st = step(st)
+        v = np.asarray(st.vel, np.float64)
+        gross_impulse += np.abs(
+            np.asarray(st.mass, np.float64)[:, None] * (v - prev_vel)).sum()
+        prev_vel = v
+    drift = np.abs(momentum(st) - p0).sum()
+    assert gross_impulse > 0
+    # ring=2 + quadrupole far field: ~1e-3 relative force error; allow 3x
+    assert drift <= 3e-3 * gross_impulse, (drift, gross_impulse)

@@ -41,3 +41,41 @@ def test_no_cadence_runs_to_completion(tmp_path):
     cfg = base_cfg(tmp_path, log_every=0, total_iterations=100)
     res = run_simulation(cfg, quiet=True)
     assert int(np.asarray(res.state.step)) == 100
+
+
+def test_frame_content_is_post_step_state(tmp_path):
+    """Frame iteration_j must hold the state after completing iteration j,
+    exactly like the reference (render launched post-step under j's index,
+    nbody.cu:529-538) — not the pre-step state."""
+    from nbodyax.physics.step import PhysicsParams, make_step
+    from nbodyax.render import render_state
+    from nbodyax.scenes import init_scene
+    from nbodyax.tools import read_pgm
+
+    cfg = base_cfg(tmp_path, save_images=True, save_image_every=2,
+                   total_iterations=4, log_every=2,
+                   image_path=str(tmp_path / "frames"))
+    run_simulation(cfg, quiet=True)
+    frames = sorted(os.listdir(tmp_path / "frames"))
+    assert frames == ["iteration_0.ppm", "iteration_2.ppm"]
+
+    # replay: state after 1 and 3 steps respectively
+    state = init_scene(cfg)
+    step = make_step(PhysicsParams.from_config(cfg))
+    state = step(state)
+    np.testing.assert_array_equal(
+        read_pgm(str(tmp_path / "frames" / "iteration_0.ppm")),
+        np.asarray(render_state(state, cfg)))
+    state = step(step(state))
+    np.testing.assert_array_equal(
+        read_pgm(str(tmp_path / "frames" / "iteration_2.ppm")),
+        np.asarray(render_state(state, cfg)))
+
+
+def test_bh_log_labels_equivalent_pairs(tmp_path):
+    cfg = base_cfg(tmp_path, force_model="bh", softening=10.0, bh_levels=3,
+                   bh_neighbor_k=64, log_every=10, total_iterations=10)
+    run_simulation(cfg, quiet=True)
+    rec = json.loads(open(cfg.log_path).read().splitlines()[-1])
+    assert rec["force_model"] == "bh"
+    assert "equivalent_pairs_per_sec" in rec and "pairs_per_sec" not in rec

@@ -65,3 +65,32 @@ def test_write_pgm_roundtrip(tmp_path):
     assert raw.startswith(b"P5\n5 4\n255\n")
     body = np.frombuffer(raw.split(b"255\n", 1)[1], np.uint8).reshape(4, 5)
     np.testing.assert_array_equal(body, img)
+
+
+def test_rasterize_oversized_discs_render_complete():
+    """Discs wider than the patch window (dominant absorbers) must render
+    complete via the dense big-body pass, matching the scalar oracle exactly
+    — they used to silently crop to a patch-sized square."""
+    rng = np.random.RandomState(3)
+    n, img, field = 12, 64, 1000
+    pos = rng.uniform(-field, field, (n, 2)).astype(np.float32)
+    mass = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    radius = rng.uniform(5, 40, n).astype(np.float32)
+    radius[0] = 600.0   # ~38 px disc >> patch 16
+    radius[1] = 900.0   # second giant, partially offscreen
+    pos[1] = (950.0, -950.0)
+    got = np.asarray(rasterize(pos, mass, radius, img_width=img, img_height=img,
+                               field_width=field, field_height=field, patch=16))
+    want = scalar_oracle(pos, mass, radius, img, img, field, field)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_rasterize_oversized_dead_body_not_rendered():
+    pos = np.zeros((4, 2), np.float32)
+    mass = np.array([0.0, 1.0, 1.0, 1.0], np.float32)  # giant is dead
+    radius = np.array([900.0, 5.0, 5.0, 5.0], np.float32)
+    pos[1:] = [[500, 500], [-500, 500], [0, -500]]
+    got = np.asarray(rasterize(pos, mass, radius, img_width=64, img_height=64,
+                               field_width=1000, field_height=1000, patch=16))
+    want = scalar_oracle(pos, mass, radius, 64, 64, 1000, 1000)
+    np.testing.assert_array_equal(got, want)
