@@ -242,6 +242,18 @@ def _far_force(i_pos, pos, mass, ext, levels, ring, eps2, chunk, order=1):
     return out.reshape(npad, 2)[:n]
 
 
+def _pack_id(ids: jnp.ndarray):
+    """Split i32 body ids across two exactly-f32-representable lanes:
+    hi = id >> 12 (< 2^19 for any i32 id), lo = id & 0xFFF (< 2^12)."""
+    ids = ids.astype(jnp.int32)
+    return ((ids >> 12).astype(jnp.float32),
+            (ids & 0xFFF).astype(jnp.float32))
+
+
+def _unpack_id(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    return hi.astype(jnp.int32) * 4096 + lo.astype(jnp.int32)
+
+
 def _gathered_pair_accum(pi, vi, mi, ri, ii, pj, vj, mj, rj, jj, *,
                          eps2, growth_rate, mode):
     """Exact per-pair semantics (mirrors pairwise.pair_accumulators_chunk)
@@ -333,13 +345,14 @@ def _near_field(i_pos, i_vel, i_mass, i_radius, i_ids,
 
     # single packed feature row per partner: one wide gather per neighbor
     # window instead of six narrow ones (TPU gathers are the bottleneck).
-    # Layout: x, y, vx, vy, m, r, global-id-as-f32 (exact up to 2^24 ids).
-    if n > (1 << 24):
-        raise ValueError("bh near field packs body ids into f32 lanes; "
-                         f"N={n} exceeds the exact 2^24 range")
+    # Layout: x, y, vx, vy, m, r, id_hi, id_lo — the global id rides two f32
+    # lanes (12-bit lo, upper bits hi, each exactly representable), so ids
+    # are exact at any i32-indexable N and the row is 8 lanes (power-of-two
+    # aligned).
+    id_hi, id_lo = _pack_id(order)
     sf = jnp.stack(
         [pos[order, 0], pos[order, 1], vel[order, 0], vel[order, 1],
-         mass[order], radius[order], order.astype(jnp.float32)], axis=1)
+         mass[order], radius[order], id_hi, id_lo], axis=1)
 
     nchunks = -(-n_i // chunk)
     npad = nchunks * chunk
@@ -376,10 +389,10 @@ def _near_field(i_pos, i_vel, i_mass, i_radius, i_ids,
                 slots = st[:, None] + ks               # [C, k]
                 ok = okc[:, None] & (ks < cnt[:, None])
                 idx = jnp.clip(jnp.where(ok, slots, 0), 0, n - 1)
-                fj = jnp.where(ok[..., None], sf[idx], 0.0)  # [C, k, 7]
+                fj = jnp.where(ok[..., None], sf[idx], 0.0)  # [C, k, 8]
                 pj, vj = fj[..., 0:2], fj[..., 2:4]
                 mj, rj = fj[..., 4], fj[..., 5]
-                jj = jnp.where(ok, fj[..., 6].astype(jnp.int32), -1)
+                jj = jnp.where(ok, _unpack_id(fj[..., 6], fj[..., 7]), -1)
                 acc = combine_accumulators(acc, _gathered_pair_accum(
                     pi, vi, mi, ri, ii, pj, vj, mj, rj, jj,
                     eps2=eps2, growth_rate=growth_rate, mode=mode))

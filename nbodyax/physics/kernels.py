@@ -102,12 +102,6 @@ def _pair_kernel(ioff_ref, joff_ref, xi_ref, xj_ref, out_ref, *opt_refs,
     mj = xj_ref[4:5, :]
     rj = xj_ref[5:6, :]
 
-    # global body ids (offsets make the same kernel serve ring hops)
-    i_ids = (ioff_ref[0, 0] + pl.program_id(0) * tile_i
-             + lax.broadcasted_iota(jnp.int32, (tile_i, 1), 0))
-    j_ids = (joff_ref[0, 0] + jstep * tile_j
-             + lax.broadcasted_iota(jnp.int32, (1, tile_j), 1))
-
     dx = xj - xi                           # [TI, TJ]
     dy = yj - yi
     d2 = dx * dx + dy * dy
@@ -117,10 +111,24 @@ def _pair_kernel(ioff_ref, joff_ref, xi_ref, xj_ref, out_ref, *opt_refs,
     # the live body's own disc covers the dead slot's position). Both are
     # exactly the pairs that must not contribute force, so the force path
     # needs no alive/self masks at all; notself is only needed for the
-    # collision channels.
+    # merge modes (elastic gates on d2 > 0 instead, which excludes self).
     overlap_raw = d2 <= rsum * rsum        # nbody.cu:133
-    notself = i_ids != j_ids
-    overlap = overlap_raw & notself
+    if mode in ("reference", "momentum"):
+        # Global-id comparisons via tile-LOCAL f32 iotas against a scalar:
+        # for locals il < TILE_I, jl < TILE_J, global j <=> i compares reduce
+        # to (jl - il) <=> (i_base - j_base). The difference grid is exact in
+        # f32 (|jl - il| < 4096) and the scalar bound is exact whenever it
+        # lies inside that band (f32 holds all ints < 2^24; outside the band
+        # the comparison is constant either way) — so this is EXACT at any N
+        # while keeping the hot loop entirely on the f32 vector path.
+        il = lax.broadcasted_iota(jnp.int32, (tile_i, 1), 0)
+        jl = lax.broadcasted_iota(jnp.int32, (1, tile_j), 1)
+        dl = (jl.astype(jnp.float32) - il.astype(jnp.float32))  # [TI, TJ]
+        i_base = ioff_ref[0, 0] + pl.program_id(0) * tile_i
+        j_base = joff_ref[0, 0] + jstep * tile_j
+        base_diff = (i_base - j_base).astype(jnp.float32)
+        if mode == "reference":
+            overlap = overlap_raw & (dl != base_diff)   # j_id != i_id
 
     d2e = d2 if eps2 == 0.0 else d2 + eps2
     inv = lax.rsqrt(d2e)
@@ -128,8 +136,9 @@ def _pair_kernel(ioff_ref, joff_ref, xi_ref, xj_ref, out_ref, *opt_refs,
     if mode == "elastic":
         # gravity acts on overlapping pairs too; only the d2=0 singularities
         # (self / exactly coincident, which contribute 0 force anyway via
-        # dx=dy=0) must be kept out of the rsqrt result.
-        w = jnp.where(d2 > 0, wm, 0.0)
+        # dx=dy=0) must be kept out of the rsqrt result. With softening on,
+        # wm is finite everywhere and wm*dx is exactly 0 there — no mask.
+        w = wm if eps2 > 0.0 else jnp.where(d2 > 0, wm, 0.0)
     else:
         w = jnp.where(overlap_raw, 0.0, wm)
     fx = jnp.sum(w * dx, axis=1, keepdims=True)
@@ -148,33 +157,46 @@ def _pair_kernel(ioff_ref, joff_ref, xi_ref, xj_ref, out_ref, *opt_refs,
         ch4 = jnp.sum(jnp.where(overlap & ~heavier, 1.0, 0.0), axis=1,
                       keepdims=True)
     elif mode == "momentum":
-        beats = (mj > mi) | ((mj == mi) & (j_ids < i_ids))
-        cand = overlap & beats
+        # j beats i if heavier, or equal mass with lower global id — the id
+        # comparison via the same local-difference trick as above. beats
+        # already excludes the self-pair (equal mass, equal id), so no
+        # explicit not-self mask is needed here.
+        beats = (mj > mi) | ((mj == mi) & (dl < base_diff))
+        cand = overlap_raw & beats
         key = jnp.where(cand, mj, _NEG_INF)
         bm = jnp.max(key, axis=1, keepdims=True)
-        # tie-break equal best mass toward the lowest global j id; exact i32
-        # (no candidate -> _I32_MAX sentinel, min-combines harmlessly)
-        jmin = jnp.where(cand & (key == bm), j_ids, _I32_MAX)
-        best_j = jnp.min(jmin, axis=1, keepdims=True)
-        # no candidate-count channel needed: best_mass stays _NEG_INF iff no
-        # candidate in any tile (max-combines), which decode_raw tests
+        # Tie-break equal best mass toward the lowest global j id, via
+        # tile-local f32 ordering (local ids < TILE_J are exactly f32-
+        # representable at any global N; global i32 ids are reconstructed
+        # from the tile base afterwards). f32 select/max keeps the hot loop
+        # off the slower i32 vector path. No cand mask needed: when bm is a
+        # real mass, non-candidate lanes have key = -inf != bm; when bm is
+        # the -inf sentinel (no candidate anywhere), best_j is overridden to
+        # _I32_MAX below and decode_raw ignores it.
+        jlf = jl.astype(jnp.float32)
+        order = jnp.where(key == bm, -jlf, _NEG_INF)
+        best_local = -jnp.max(order, axis=1, keepdims=True)
+        best_j = jnp.where(bm > _NEG_INF,
+                           j_base + best_local.astype(jnp.int32), _I32_MAX)
         ch5 = bm
     elif mode == "elastic":
         vxi, vyi = xi_ref[:, 2:3], xi_ref[:, 3:4]
         vxj, vyj = xj_ref[2:3, :], xj_ref[3:4, :]
         vdotp = (vxj - vxi) * dx + (vyj - vyi) * dy
-        approaching = overlap & (vdotp < 0) & (d2 > 0)
-        # (2*m_j/(m_i+m_j)) * vdotp / d2 with ONE exact reciprocal (f32
-        # division costs many VPU ops). The fused denominator is clamped
-        # below f32 max so extreme masses (>~1e34) degrade the impulse toward
-        # 0 instead of overflowing to inf -> NaN, and vdotp is divided before
-        # the final mass product so intermediates stay bounded. The clamp sits
-        # at 1e37 (not f32 max) so its reciprocal stays a NORMAL float —
-        # 1/3e38 is subnormal and flushes to zero on TPU.
-        denom = jnp.minimum((mi + mj) * d2, 1e37)
-        inv_denom = pl.reciprocal(jnp.where(approaching, denom, 1.0),
-                                  approx=False)
-        coef = jnp.where(approaching, vdotp * inv_denom * (2.0 * mj), 0.0)
+        # vdotp < 0 alone excludes self-pairs and exact coincidence (there
+        # dx = dy = 0 so vdotp == 0 exactly) — no id math or d2 > 0 needed
+        approaching = overlap_raw & (vdotp < 0)
+        # (2*m_j/(m_i+m_j)) * vdotp / d2 via rsqrt-and-square: exact f32
+        # division costs many VPU ops, rsqrt is one fast transcendental and
+        # 1/x = rsqrt(x)^2 to ~2 ulp. Extreme masses/distances overflow the
+        # fused denominator to +inf, where rsqrt^2 flushes to 0 — the impulse
+        # degrades toward zero instead of producing inf/NaN, no clamp needed.
+        # rsqrt(0)=inf on non-approaching lanes produces NaN there, which the
+        # coef where() discards (approaching lanes have d2 > 0 by the vdotp
+        # gate, so taken lanes are always finite).
+        # The physical factor 2 is applied once in decode_raw, not per pair.
+        rs = lax.rsqrt((mi + mj) * d2)
+        coef = jnp.where(approaching, vdotp * (rs * rs) * mj, 0.0)
         ch2 = jnp.sum(coef * dx, axis=1, keepdims=True)
         ch3 = jnp.sum(coef * dy, axis=1, keepdims=True)
 
@@ -317,7 +339,9 @@ def decode_raw(raw, parent_raw, i_offset, mass_i, mode: str) -> PairAccumulators
         best_mass = jnp.where(any_cand, raw[:, 5], -jnp.inf)
         parent = jnp.where(any_cand, parent_raw[:, 0], ids)
     elif mode == "elastic":
-        dv = jnp.where(alive[:, None], raw[:, 2:4], 0.0)
+        # the kernel accumulates m_j/(m_i+m_j) * vdotp/d2 * dp; the impulse
+        # formula's factor 2 is applied here, once per i body
+        dv = jnp.where(alive[:, None], 2.0 * raw[:, 2:4], 0.0)
     return PairAccumulators(force=force, gained_mass=gm, gained_radius=gr,
                             died=died, best_mass=best_mass, parent=parent,
                             dv=dv)

@@ -1,13 +1,29 @@
 """Sharded Barnes-Hut step: compute-parallel hierarchical gravity.
 
 Design: bodies stay index-sharded (same placement as the exact ring); each
-step the full body set is all-gathered — 24 bytes/body over ICI, trivial next
-to the O(N * levels) math — every shard builds the (deterministic, identical)
-quadtree grids and sorted partner structure from the gathered arrays, and
-evaluates near+far accumulators *only for its local i slice*. Compute scales
-with the device count; memory is O(N) per device, which at the 4M-body target
-is ~100 MB — the right trade at this scale. True space-partitioned sharding
-(halo exchange, O(N/P) memory) is future work (NEXT.md).
+step the full body set is all-gathered, every shard builds the
+(deterministic, identical) quadtree grids and sorted partner structure from
+the gathered arrays, and evaluates near+far accumulators *only for its local
+i slice*. Compute scales with the device count; memory is O(N) per device.
+
+Why compute-parallel is the right trade at the 4M/8-shard target (per-device
+accounting; see also BENCHMARKS.md):
+
+- **ICI**: one all_gather of (pos, vel, mass, radius) = 24 B/body, i.e.
+  24*N*(P-1)/P received per device per pass — 96 MB at N=4M. At v5e ICI
+  bandwidth that is milliseconds, against an O(N*levels) bh evaluation that
+  takes seconds at this N (BENCHMARKS.md config 6). Momentum mode gathers
+  the accumulators too (~36 B/body more) — still noise.
+- **HBM**: gathered arrays (24 B/body) + sorted packed partner features
+  (28 B/body) + sort/index arrays (~12 B/body) + level grids
+  (24 B * 4^levels, ~6 MB at levels=10) ~= 64 B/body ~= 256 MB at N=4M on a
+  16 GB chip. O(N) replication only becomes a memory question beyond ~10^8
+  bodies — but the near field packs partner ids into an f32 lane, exact to
+  2^24, so the model's hard N ceiling is 16.7M regardless of sharding.
+- Therefore space-partitioned sharding (contiguous cell ranges per shard +
+  ring-halo exchange, O(N/P) memory) only pays off past the id-packing
+  ceiling; both would need the same fix first (i32 id sideband in the
+  near-field gather). Future work, NEXT.md.
 
 Collision resolution and integration mirror sharding/ring.py exactly.
 """

@@ -182,3 +182,19 @@ def test_bh_momentum_drift_bounded_long_run():
     assert gross_impulse > 0
     # ring=2 + quadrupole far field: ~1e-3 relative force error; allow 3x
     assert drift <= 3e-3 * gross_impulse, (drift, gross_impulse)
+
+
+def test_near_field_id_packing_exact_beyond_2pow24():
+    """Body ids ride two f32 lanes (12-bit lo / hi) in the packed near-field
+    rows — the round trip must be exact for any i32 id, removing the old
+    2^24 ceiling."""
+    import jax.numpy as jnp
+    from nbodyax.physics.barneshut import _pack_id, _unpack_id
+    ids = np.array([0, 1, 4095, 4096, (1 << 24) - 1, (1 << 24),
+                    (1 << 24) + 1, (1 << 28) + 12345, (1 << 31) - 1],
+                   np.int32)
+    hi, lo = _pack_id(jnp.asarray(ids))
+    np.testing.assert_array_equal(np.asarray(_unpack_id(hi, lo)), ids)
+    # the halves must be exactly f32-representable (integral and < 2^24)
+    assert float(np.asarray(hi).max()) < 2 ** 24
+    assert float(np.asarray(lo).max()) < 4096

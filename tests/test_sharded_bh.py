@@ -100,3 +100,25 @@ def test_sharded_bh_leapfrog_matches_single_device():
                                rtol=1e-4, atol=1e-2)
     np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel),
                                rtol=1e-4, atol=1e-2)
+
+
+def test_sharded_bh_scale_representative():
+    """Denser, more representative scale on the virtual mesh (N=8192,
+    levels=5): the compute-parallel design must stay exact-equal to the
+    single-device bh step (memory/ICI accounting in sharding/bh.py)."""
+    n = 8192
+    st = random_state(n, seed=11, field=20000.0)
+    p = PhysicsParams(dt=0.1, field_width=20000, field_height=20000, eps=20.0)
+    cfg = SimConfig(shards=N_DEV, force_model="bh", bh_levels=5,
+                    bh_neighbor_k=64, softening=20.0)
+    mesh = make_mesh(N_DEV)
+    sharded = make_sharded_bh_step(cfg, p, mesh=mesh)
+    single = make_step(p, accum_fn=partial(
+        bh_accumulators, eps=p.eps, growth_rate=p.growth_rate,
+        mode="reference", levels=5, neighbor_k=64))
+    a = sharded(shard_state(pad_to_shards(st, N_DEV), mesh))
+    b = single(st)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(a.mass) > 0,
+                                  np.asarray(b.mass) > 0)
