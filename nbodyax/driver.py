@@ -59,15 +59,19 @@ def build_step(cfg: SimConfig,
     p = PhysicsParams.from_config(cfg)
     capacity = capacity or cfg.particle_count
     if cfg.shards > 1:
+        # leapfrog's KDK runs two full ring passes inside the one dispatch
+        passes = 2 if cfg.integrator == "leapfrog" else 1
         if (cfg.force_model != "bh"
-                and float(capacity) ** 2 / cfg.shards > MAX_PAIRS_PER_DISPATCH):
+                and passes * float(capacity) ** 2 / cfg.shards
+                > MAX_PAIRS_PER_DISPATCH):
             # the ring step runs each shard's full pass as ONE device
             # dispatch of ~capacity^2/shards pairs; past the per-dispatch
             # budget that execution can outlive device watchdogs (the limit
             # the split-dispatch path exists to respect)
             import warnings
             warnings.warn(
-                f"sharded exact step: ~{float(capacity) ** 2 / cfg.shards:.2e}"
+                "sharded exact step: "
+                f"~{passes * float(capacity) ** 2 / cfg.shards:.2e}"
                 f" pairs per device dispatch exceeds the "
                 f"{MAX_PAIRS_PER_DISPATCH:.1e} per-dispatch budget; very long"
                 " uninterruptible device executions may hit runtime "
@@ -159,11 +163,16 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
 
     host_loop = getattr(step, "_host_loop", False)
     runners = {1: step}
+    # only the RECURRING window sizes get their own fori_loop compile: the
+    # full stride and (with frames on) the stride-1 realign after a render.
+    # One-off tails (total % stride) host-loop the already-compiled step —
+    # a handful of dispatches beats a multi-minute one-shot compile.
+    compiled_ks = {stride, stride - 1}
 
     def advance_k(s, k):
-        """k steps as one device dispatch (jitted fori_loop, cached per k);
-        the split-dispatch step stays host-orchestrated."""
-        if host_loop:
+        """k steps as one device dispatch (jitted fori_loop, cached per
+        recurring k); the split-dispatch step stays host-orchestrated."""
+        if host_loop or (k not in compiled_ks and k != 1):
             return _run_k(step, s, k)
         run = runners.get(k)
         if run is None:
@@ -179,21 +188,26 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
         iteration = start_step
         while iteration < cfg.total_iterations:
             k = min(stride, cfg.total_iterations - iteration)
-            meter.start()
             if writer is not None and iteration % cfg.save_image_every == 0:
                 # reference frame iteration_j holds *post-step-j* state: the
                 # render launches after iteration j's kernels, under j's index
                 # (nbody.cu:529-538). Advance one step, render, realign to
-                # the stride grid.
+                # the stride grid. Rendering stays OUTSIDE the metered
+                # windows so frame cost never skews step throughput.
+                meter.start()
                 state = advance_k(state, 1)
+                meter.stop(state, steps=1)
                 img = render_state(state, cfg)
                 writer.submit(iteration, img)   # async host write
                 frames += 1
                 if k > 1:
+                    meter.start()
                     state = advance_k(state, k - 1)
+                    meter.stop(state, steps=k - 1)
             else:
+                meter.start()
                 state = advance_k(state, k)
-            meter.stop(state, steps=k)
+                meter.stop(state, steps=k)
             iteration += k
             if cfg.log_every and iteration % cfg.log_every == 0:
                 scal = conservation_scalars(state)

@@ -15,15 +15,14 @@ accounting; see also BENCHMARKS.md):
   takes seconds at this N (BENCHMARKS.md config 6). Momentum mode gathers
   the accumulators too (~36 B/body more) — still noise.
 - **HBM**: gathered arrays (24 B/body) + sorted packed partner features
-  (28 B/body) + sort/index arrays (~12 B/body) + level grids
-  (24 B * 4^levels, ~6 MB at levels=10) ~= 64 B/body ~= 256 MB at N=4M on a
-  16 GB chip. O(N) replication only becomes a memory question beyond ~10^8
-  bodies — but the near field packs partner ids into an f32 lane, exact to
-  2^24, so the model's hard N ceiling is 16.7M regardless of sharding.
-- Therefore space-partitioned sharding (contiguous cell ranges per shard +
-  ring-halo exchange, O(N/P) memory) only pays off past the id-packing
-  ceiling; both would need the same fix first (i32 id sideband in the
-  near-field gather). Future work, NEXT.md.
+  (32 B/body: 8 f32 lanes, ids split across two exactly-representable
+  lanes — exact at any i32 N, barneshut._pack_id) + sort/index arrays
+  (~12 B/body) + level grids (24 B * 4^levels, ~6 MB at levels=10)
+  ~= 68 B/body ~= 272 MB at N=4M on a 16 GB chip.
+- Therefore O(N) replication only becomes a binding constraint beyond ~10^8
+  bodies; space-partitioned sharding (contiguous cell ranges per shard +
+  ring-halo exchange, O(N/P) memory) buys nothing at any currently
+  reachable scale. Future work, NEXT.md.
 
 Collision resolution and integration mirror sharding/ring.py exactly.
 """
