@@ -115,6 +115,9 @@ class SimConfig:
     max_retries: int = 3                  # attempts when autoResume is on
     resume_from: str = ""                 # checkpoint file to resume from
     log_every: int = 1
+    energy_every: int = 0                 # also log O(N^2) pair potential +
+                                          # total energy every k steps (0=off;
+                                          # must be a multiple of logEvery)
     log_path: str = ""                    # JSONL metrics path ("" = stdout only)
     render_patch: int = 32                # static rasterizer patch edge (pixels)
     save_images: bool = True
@@ -182,6 +185,7 @@ _KEYS = {
     "maxRetries": ("max_retries", _stoi),
     "resumeFrom": ("resume_from", lambda s, k: s.strip()),
     "logEvery": ("log_every", _stoi),
+    "energyEvery": ("energy_every", _stoi),
     "logPath": ("log_path", lambda s, k: s.strip()),
     "renderPatch": ("render_patch", _stoi),
     "saveImages": ("save_images", _bool),

@@ -158,7 +158,7 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
     import math
     cadences = [c for c in (cfg.save_image_every if cfg.save_images else 0,
                             cfg.log_every, cfg.checkpoint_every,
-                            cfg.compact_every) if c]
+                            cfg.compact_every, cfg.energy_every) if c]
     stride = math.gcd(*cadences) if cadences else 64
 
     host_loop = getattr(step, "_host_loop", False)
@@ -218,6 +218,13 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                     scal["bh_overflow"] = overflow_count(
                         state.pos, state.mass, levels=cfg.bh_levels,
                         neighbor_k=cfg.bh_neighbor_k)
+                if cfg.energy_every and iteration % cfg.energy_every == 0:
+                    # O(N^2) pair potential: opt-in, at its own (coarser)
+                    # cadence — as expensive as a force pass
+                    from nbodyax.metrics import potential_energy
+                    pe = float(potential_energy(state, eps=cfg.softening))
+                    scal["potential_energy"] = pe
+                    scal["total_energy"] = pe + float(scal["kinetic_energy"])
                 # bh does O(N*levels) work, not capacity^2: label its pair
                 # rate as *equivalent*-exact so the JSONL is self-describing
                 pairs_key = ("equivalent_pairs_per_sec"

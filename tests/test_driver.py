@@ -79,3 +79,19 @@ def test_bh_log_labels_equivalent_pairs(tmp_path):
     rec = json.loads(open(cfg.log_path).read().splitlines()[-1])
     assert rec["force_model"] == "bh"
     assert "equivalent_pairs_per_sec" in rec and "pairs_per_sec" not in rec
+
+
+def test_energy_logging_cadence(tmp_path):
+    """energyEvery adds potential/total energy at its own coarser cadence."""
+    cfg = base_cfg(tmp_path, log_every=5, energy_every=10,
+                   total_iterations=20, softening=50.0)
+    run_simulation(cfg, quiet=True)
+    recs = [json.loads(l) for l in open(cfg.log_path).read().splitlines()]
+    by_step = {r["step"]: r for r in recs}
+    assert "potential_energy" not in by_step[5]
+    assert "potential_energy" in by_step[10]
+    assert "total_energy" in by_step[20]
+    r = by_step[20]
+    assert abs(r["total_energy"] - (r["potential_energy"]
+                                    + r["kinetic_energy"])) <= \
+        1e-6 * max(abs(r["total_energy"]), 1.0)
