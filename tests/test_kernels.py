@@ -119,3 +119,31 @@ def test_step_with_pallas_backend_matches_jnp():
                                rtol=1e-5, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(a.mass) > 0,
                                   np.asarray(b.mass) > 0)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_kernel_matches_oracle_softened(mode):
+    """eps > 0 takes different static branches in the kernel (e.g. the
+    elastic force path elides its singularity mask when softened) — the
+    softened variants must match the oracle too."""
+    pos, vel, mass, radius = random_state(200, seed=11)
+    a = pallas_pair_accumulators(pos, vel, mass, radius, mode=mode, eps=25.0,
+                                 growth_rate=0.1, tile_i=32, tile_j=128,
+                                 interpret=True)
+    b = pair_accumulators(pos, vel, mass, radius, mode=mode, eps=25.0,
+                          growth_rate=0.1)
+    assert_equivalent(a, b, mode)
+
+
+def test_kernel_elastic_coincident_bodies_softened_no_nan():
+    """Exactly coincident bodies with softening on: the elided mask path must
+    still produce zero impulse and finite force (vdotp==0 gates it)."""
+    pos = np.zeros((8, 2), np.float32)
+    vel = np.tile(np.array([[1.0, -0.5]], np.float32), (8, 1))
+    mass = np.full(8, 5.0, np.float32)
+    radius = np.full(8, 2.0, np.float32)
+    acc = pallas_pair_accumulators(pos, vel, mass, radius, mode="elastic",
+                                   eps=10.0, growth_rate=0.1,
+                                   tile_i=8, tile_j=128, interpret=True)
+    assert np.isfinite(np.asarray(acc.force)).all()
+    np.testing.assert_array_equal(np.asarray(acc.dv), 0.0)
