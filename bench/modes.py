@@ -72,7 +72,11 @@ def main(argv=None) -> int:
     results = []
     for mode in args.modes.split(","):
         for tiles in tile_list:
-            r = run_mode(mode, args.n, args.reps, tiles)
+            try:
+                r = run_mode(mode, args.n, args.reps, tiles)
+            except Exception as e:  # keep sweeping past a bad variant
+                r = {"mode": mode, "tiles": list(tiles) if tiles else None,
+                     "error": f"{type(e).__name__}: {str(e)[:200]}"}
             print(json.dumps(r), flush=True)
             results.append(r)
     if args.out:

@@ -293,9 +293,12 @@ def tile_accumulators_raw(feats_i, feats_j_t, i_offset, j_offset, *,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            # default scoped limit (16M) is conservative; the 512x2048 tiles
-            # need ~17-25M of stack across double-buffered temporaries
-            vmem_limit_bytes=64 * 1024 * 1024),
+            # Pallas' default scoped limit (16M) is conservative; the hot
+            # loop's [TI, TJ] f32 temporaries need ~4 tiles' worth of stack
+            # (measured: 1024x2048 fits in 64M, 1024x4096 needs ~66M). Scale
+            # with the tile footprint, capped under the v5e 128M VMEM.
+            vmem_limit_bytes=min(100, 64 * max(1, (tile_i * tile_j) >> 21))
+            * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_pair * ni_pad * nj_pad,
             bytes_accessed=(ni_pad * NUM_FEATS * 4
