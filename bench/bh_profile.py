@@ -1,0 +1,91 @@
+"""Component timing for the bh force model at N=1M (what dominates a step).
+
+Run on the TPU chip: ``python -m bench.bh_profile [--n 1048576]``. Times the
+far field, the near field, the full accumulator pass, and the full step
+separately (each jitted and fenced with a host scalar fetch). One JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_048_576)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--levels", type=int, default=0)
+    ap.add_argument("--k", type=int, default=32)
+    ap.add_argument("--ring", type=int, default=1)
+    ap.add_argument("--order", type=int, default=2)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from nbodyax.config import SimConfig
+    from nbodyax.driver import build_step
+    from nbodyax.physics.barneshut import (_extent, _far_force, _near_field,
+                                           auto_levels, bh_accumulators)
+    from nbodyax.scenes import init_scene
+
+    n = args.n
+    levels = args.levels or auto_levels(n)
+    cfg = SimConfig(particle_count=n, collision_mode="reference",
+                    force_model="bh", softening=100.0, bh_levels=levels,
+                    bh_neighbor_k=args.k, bh_ring=args.ring,
+                    bh_order=args.order)
+    state = init_scene(cfg, parity=False)
+    pos, vel = state.pos, state.vel
+    mass, radius = state.mass, state.radius
+    eps2 = jnp.float32(cfg.softening) ** 2
+    ids = jnp.arange(n, dtype=jnp.int32)
+
+    @jax.jit
+    def far_only(pos, mass):
+        ext = _extent(pos, mass > 0)
+        f = _far_force(pos, pos, mass, ext, levels, args.ring, eps2, 8192,
+                       args.order)
+        return f[0, 0] + f[-1, 1]
+
+    @jax.jit
+    def near_only(pos, vel, mass, radius):
+        ext = _extent(pos, mass > 0)
+        acc = _near_field(pos, vel, mass, radius, ids, pos, vel, mass, radius,
+                          ext, levels, args.ring, eps2, jnp.float32(0.1),
+                          "reference", args.k, 8192)
+        return acc.force[0, 0] + acc.gained_mass[-1]
+
+    @jax.jit
+    def accum_full(pos, vel, mass, radius):
+        acc = bh_accumulators(pos, vel, mass, radius, eps=cfg.softening,
+                              growth_rate=0.1, mode="reference", levels=levels,
+                              ring=args.ring, neighbor_k=args.k,
+                              order=args.order)
+        return acc.force[0, 0] + acc.gained_mass[-1]
+
+    step = build_step(cfg)
+
+    def timed(fn, *a):
+        r = fn(*a)
+        _ = float(r if not hasattr(r, "pos") else r.pos[0, 0])  # compile
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            r = fn(*a)
+            _ = float(r if not hasattr(r, "pos") else r.pos[0, 0])
+        return (time.perf_counter() - t0) / args.reps
+
+    out = {"n": n, "levels": levels, "k": args.k, "ring": args.ring,
+           "order": args.order,
+           "far_s": round(timed(far_only, pos, mass), 3),
+           "near_s": round(timed(near_only, pos, vel, mass, radius), 3),
+           "accum_s": round(timed(accum_full, pos, vel, mass, radius), 3),
+           "full_step_s": round(timed(step, state), 3)}
+    print(json.dumps(out), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -96,7 +96,8 @@ class SimConfig:
     bh_levels: int = 0                    # finest quadtree level (0 = auto)
     bh_ring: int = 1                      # near-window ring; 2 = ~10x better
                                           # far-field accuracy, more near work
-    bh_neighbor_k: int = 32               # near-field partners kept per cell
+    bh_neighbor_k: int = 64               # near-field partners kept per
+                                          # window ROW of 2*bhRing+1 cells
     bh_order: int = 2                     # far-field expansion: 1=monopole,
                                           # 2=+quadrupole (default: ~5x less
                                           # error, measured no slower on v5e)

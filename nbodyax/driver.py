@@ -217,7 +217,7 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                     # bhNeighborK / bhLevels if this is ever nonzero)
                     scal["bh_overflow"] = overflow_count(
                         state.pos, state.mass, levels=cfg.bh_levels,
-                        neighbor_k=cfg.bh_neighbor_k)
+                        neighbor_k=cfg.bh_neighbor_k, ring=cfg.bh_ring)
                 if cfg.energy_every and iteration % cfg.energy_every == 0:
                     # O(N^2) pair potential: opt-in, at its own (coarser)
                     # cadence — as expensive as a force pass

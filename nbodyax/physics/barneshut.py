@@ -17,15 +17,17 @@ is O(N^2) per step; this model is O(N * levels).
 - **Near field**: bodies sorted by finest-level cell id; each body interacts
   *exactly* — identical per-pair semantics to physics/pairwise.py, collision
   channels included — with up to ``bhNeighborK`` bodies in each of its
-  (2*ring+1)^2 neighbor cells.
+  (2*ring+1) neighbor-cell ROWS (the row's cells are contiguous in sorted
+  order, so a row is one gather window; a crowded cell can use its row
+  neighbors' unused slots).
 
 Because the near field carries the full collision semantics, every collision
 mode (reference / momentum / elastic) composes with this model unchanged.
 Documented approximations:
 1. overlaps spanning beyond the near window (radius sum > ring * cell size)
    are missed — fine while radii stay below the cell size;
-2. cells holding more than K bodies drop the excess from near-field lists
-   (``overflow_count`` reports how many — the driver logs it as
+2. window rows holding more than K bodies drop the excess from near-field
+   lists (``overflow_count`` reports how many — the driver logs it as
    ``bh_overflow``; raise ``bhNeighborK`` or ``bhLevels`` if it is nonzero);
 3. the monopole far field is not exactly antisymmetric (body A's pull from
    B's cell aggregate differs from B's pull from A's), so total momentum
@@ -143,6 +145,9 @@ def _level_grids(pos, mass, ext, levels, order=1):
     return grids
 
 
+_DENSE_FAR_CELLS = 256  # levels with <= this many cells skip gathers entirely
+
+
 def _far_force(i_pos, pos, mass, ext, levels, ring, eps2, chunk, order=1):
     """Far-field force for the i bodies (any subset), with grids aggregated
     from the full (pos, mass) partner set.
@@ -154,6 +159,12 @@ def _far_force(i_pos, pos, mass, ext, levels, ring, eps2, chunk, order=1):
         F_quad = 1/2 [ -3 r^-5 (2 Q d + d tr Q) + 15 r^-7 (d^T Q d) d ],
     cutting the opening-ratio error from O((s/d)^2) to O((s/d)^3) — roughly
     ring=2 accuracy at ring=1 cost.
+
+    Coarse levels (grid <= _DENSE_FAR_CELLS cells) are evaluated DENSELY over
+    every cell with the interaction-list membership computed in-register —
+    identical cell set to the gathered window, but zero gathers. Gathered
+    rows cost ~7 ns each on v5e (the measured bottleneck of this model);
+    a [chunk, 256]-cell elementwise pass is VPU noise by comparison.
     """
     grids = _level_grids(pos, mass, ext, levels, order)
     n = i_pos.shape[0]
@@ -173,16 +184,29 @@ def _far_force(i_pos, pos, mass, ext, levels, ring, eps2, chunk, order=1):
         for l in range(2, levels + 1):
             g = 1 << l
             cx, cy = _cells(pc, ext, g)
-            ox = ((cx >> 1) - ring) << 1
-            oy = ((cy >> 1) - ring) << 1
-            wx = ox[:, None] + offx[None, :]           # [C, win^2]
-            wy = oy[:, None] + offy[None, :]
-            near = (jnp.abs(wx - cx[:, None]) <= ring) & \
-                   (jnp.abs(wy - cy[:, None]) <= ring)
-            inb = (wx >= 0) & (wx < g) & (wy >= 0) & (wy < g)
-            use = inb & ~near
-            flat = jnp.clip(wy * g + wx, 0, g * g - 1)
-            cellrow = packed[l][flat]                  # [C, win^2, 3|6]
+            if g * g <= _DENSE_FAR_CELLS:
+                # dense: all cells as a [1, g^2] row, membership in-register
+                cells = lax.broadcasted_iota(jnp.int32, (1, g * g), 1)
+                wx = cells % g                          # [1, g^2]
+                wy = cells // g
+                near = (jnp.abs(wx - cx[:, None]) <= ring) & \
+                       (jnp.abs(wy - cy[:, None]) <= ring)
+                parent_ok = \
+                    (jnp.abs((wx >> 1) - (cx[:, None] >> 1)) <= ring) & \
+                    (jnp.abs((wy >> 1) - (cy[:, None] >> 1)) <= ring)
+                use = parent_ok & ~near                 # [C, g^2]
+                cellrow = packed[l][None, :, :]         # [1, g^2, 3|6]
+            else:
+                ox = ((cx >> 1) - ring) << 1
+                oy = ((cy >> 1) - ring) << 1
+                wx = ox[:, None] + offx[None, :]        # [C, win^2]
+                wy = oy[:, None] + offy[None, :]
+                near = (jnp.abs(wx - cx[:, None]) <= ring) & \
+                       (jnp.abs(wy - cy[:, None]) <= ring)
+                inb = (wx >= 0) & (wx < g) & (wy >= 0) & (wy < g)
+                use = inb & ~near
+                flat = jnp.clip(wy * g + wx, 0, g * g - 1)
+                cellrow = packed[l][flat]               # [C, win^2, 3|6]
             M = jnp.where(use, cellrow[..., 0], 0.0)
             has = M > 0
             Minv = 1.0 / jnp.where(has, M, 1.0)
@@ -329,6 +353,13 @@ def _near_field(i_pos, i_vel, i_mass, i_radius, i_ids,
     subset (the same arrays on one device, the local shard when sharded) with
     their *global* ids in ``i_ids``. Accumulators return in i order — no
     unsorting needed.
+
+    Window shape: the (2*ring+1) cells of one neighbor-grid ROW are adjacent
+    cell ids, hence CONTIGUOUS in the sorted order — so each row is ONE
+    gather window of up to ``k`` partners (``bhNeighborK`` is a per-row cap).
+    (2*ring+1) row windows replace (2*ring+1)^2 per-cell windows: 3x fewer
+    gathered rows at ring=1, and a crowded cell can borrow its row
+    neighbors' unused slots.
     """
     n_i = i_pos.shape[0]
     n = pos.shape[0]
@@ -341,18 +372,21 @@ def _near_field(i_pos, i_vel, i_mass, i_radius, i_ids,
     cells_iota = jnp.arange(g * g, dtype=s_cell.dtype)
     starts = jnp.searchsorted(s_cell, cells_iota).astype(jnp.int32)
     ends = jnp.searchsorted(s_cell, cells_iota, side="right").astype(jnp.int32)
-    counts = ends - starts
 
     # single packed feature row per partner: one wide gather per neighbor
-    # window instead of six narrow ones (TPU gathers are the bottleneck).
-    # Layout: x, y, vx, vy, m, r, id_hi, id_lo — the global id rides two f32
-    # lanes (12-bit lo, upper bits hi, each exactly representable), so ids
-    # are exact at any i32-indexable N and the row is 8 lanes (power-of-two
-    # aligned).
+    # window instead of six narrow ones (TPU gathers are the bottleneck —
+    # measured ~7 ns per gathered row on v5e, so row BYTES are the cost).
+    # The global id rides two f32 lanes (12-bit lo, upper bits hi, each
+    # exactly representable), so ids are exact at any i32-indexable N.
+    # Only elastic mode reads partner velocities; the other modes pack 6
+    # lanes instead of 8 — 25% less near-field gather traffic.
     id_hi, id_lo = _pack_id(order)
-    sf = jnp.stack(
-        [pos[order, 0], pos[order, 1], vel[order, 0], vel[order, 1],
-         mass[order], radius[order], id_hi, id_lo], axis=1)
+    need_vel = mode == "elastic"
+    lanes = ([pos[order, 0], pos[order, 1], vel[order, 0], vel[order, 1],
+              mass[order], radius[order], id_hi, id_lo] if need_vel else
+             [pos[order, 0], pos[order, 1],
+              mass[order], radius[order], id_hi, id_lo])
+    sf = jnp.stack(lanes, axis=1)
 
     nchunks = -(-n_i // chunk)
     npad = nchunks * chunk
@@ -379,23 +413,33 @@ def _near_field(i_pos, i_vel, i_mass, i_radius, i_ids,
         ccx = lax.dynamic_slice_in_dim(icx, s, chunk)
         ccy = lax.dynamic_slice_in_dim(icy, s, chunk)
         acc = empty_accumulators(ii)
-        for di in range(-ring, ring + 1):
-            for dj in range(-ring, ring + 1):
-                nx, ny = ccx + di, ccy + dj
-                okc = (nx >= 0) & (nx < g) & (ny >= 0) & (ny < g)
-                ncell = jnp.clip(ny * g + nx, 0, g * g - 1)
-                st = starts[ncell]
-                cnt = jnp.minimum(counts[ncell], k)
-                slots = st[:, None] + ks               # [C, k]
-                ok = okc[:, None] & (ks < cnt[:, None])
-                idx = jnp.clip(jnp.where(ok, slots, 0), 0, n - 1)
-                fj = jnp.where(ok[..., None], sf[idx], 0.0)  # [C, k, 8]
-                pj, vj = fj[..., 0:2], fj[..., 2:4]
+        for di in range(-ring, ring + 1):   # one window per neighbor ROW
+            ny = ccy + di
+            ok_row = (ny >= 0) & (ny < g)
+            # row cells [ccx-ring, ccx+ring] clamped into the grid are
+            # contiguous in sorted order: one (start, count) range
+            left = jnp.maximum(ccx - ring, 0)
+            right = jnp.minimum(ccx + ring, g - 1)
+            nyc = jnp.clip(ny, 0, g - 1)
+            st = starts[nyc * g + left]
+            cnt = jnp.minimum(ends[nyc * g + right] - st, k)
+            slots = st[:, None] + ks               # [C, k]
+            ok = ok_row[:, None] & (ks < cnt[:, None])
+            idx = jnp.clip(jnp.where(ok, slots, 0), 0, n - 1)
+            fj = jnp.where(ok[..., None], sf[idx], 0.0)  # [C, k, 6|8]
+            pj = fj[..., 0:2]
+            if need_vel:
+                vj = fj[..., 2:4]
                 mj, rj = fj[..., 4], fj[..., 5]
-                jj = jnp.where(ok, _unpack_id(fj[..., 6], fj[..., 7]), -1)
-                acc = combine_accumulators(acc, _gathered_pair_accum(
-                    pi, vi, mi, ri, ii, pj, vj, mj, rj, jj,
-                    eps2=eps2, growth_rate=growth_rate, mode=mode))
+                hi_l, lo_l = fj[..., 6], fj[..., 7]
+            else:
+                vj = jnp.zeros_like(pj)
+                mj, rj = fj[..., 2], fj[..., 3]
+                hi_l, lo_l = fj[..., 4], fj[..., 5]
+            jj = jnp.where(ok, _unpack_id(hi_l, lo_l), -1)
+            acc = combine_accumulators(acc, _gathered_pair_accum(
+                pi, vi, mi, ri, ii, pj, vj, mj, rj, jj,
+                eps2=eps2, growth_rate=growth_rate, mode=mode))
         return acc
 
     if nchunks == 1:
@@ -407,7 +451,7 @@ def _near_field(i_pos, i_vel, i_mass, i_radius, i_ids,
 
 def bh_accumulators(pos, vel, mass, radius, *, eps: float = 0.0,
                     growth_rate: float = 0.1, mode: str = "reference",
-                    levels: int = 0, ring: int = 1, neighbor_k: int = 32,
+                    levels: int = 0, ring: int = 1, neighbor_k: int = 64,
                     order: int = 2, chunk: int = 8192) -> PairAccumulators:
     """Drop-in accum_fn (same interface as pair_accumulators): approximate
     far-field force + exact near-field force/collision accumulators."""
@@ -432,7 +476,7 @@ def bh_accumulators(pos, vel, mass, radius, *, eps: float = 0.0,
 def bh_local_accumulators(i_pos, i_vel, i_mass, i_radius, i_ids,
                           pos, vel, mass, radius, *, eps: float,
                           growth_rate: float, mode: str, levels: int = 0,
-                          ring: int = 1, neighbor_k: int = 32,
+                          ring: int = 1, neighbor_k: int = 64,
                           order: int = 2,
                           chunk: int = 8192) -> PairAccumulators:
     """Accumulators for a subset of bodies (the i side, with global ids)
@@ -453,9 +497,13 @@ def bh_local_accumulators(i_pos, i_vel, i_mass, i_radius, i_ids,
     return combine_accumulators(near, far_acc)
 
 
-def overflow_count(pos, mass, *, levels: int = 0, neighbor_k: int = 32):
-    """Diagnostic: how many live bodies exceed their cell's K near-field
-    slots (those are invisible to near-field physics). 0 means the near field
+def overflow_count(pos, mass, *, levels: int = 0, neighbor_k: int = 64,
+                   ring: int = 1):
+    """Diagnostic: how many live bodies exceed their window-row's K
+    near-field slots (those are invisible to near-field physics for the
+    bodies whose window that row is). The near field gathers one window per
+    row of (2*ring+1) consecutive cells, capped at ``neighbor_k`` partners;
+    this counts the total excess over all such rows. 0 means the near field
     is exact for the current distribution."""
     n = pos.shape[0]
     levels = levels or auto_levels(n)
@@ -465,4 +513,9 @@ def overflow_count(pos, mass, *, levels: int = 0, neighbor_k: int = 32):
     cx, cy = _cells(pos, ext, g)
     cell = jnp.where(alive, cy * g + cx, g * g)
     occ = jnp.zeros((g * g + 1,), jnp.int32).at[cell].add(1)
-    return jnp.sum(jnp.maximum(occ[:-1] - neighbor_k, 0))
+    occ2d = occ[:-1].reshape(g, g)
+    # window-row occupancy at each center x: sum of the (2*ring+1)
+    # consecutive cells, zero outside the grid (matches the clamped windows)
+    occp = jnp.pad(occ2d, ((0, 0), (ring, ring)))
+    row = sum(occp[:, d:d + g] for d in range(2 * ring + 1))
+    return jnp.sum(jnp.maximum(row - neighbor_k, 0))

@@ -83,12 +83,16 @@ def test_bh_step_trajectory_close_to_exact():
 
 
 def test_overflow_count():
-    # 99 coincident bodies share one cell; K=32 kept -> 67 overflow
+    # 99 coincident bodies land in corner cell (0,0); windows are ROWS of
+    # 2*ring+1 cells capped at K. The hot cell is inside 2 in-grid window
+    # positions (centers x=0 and x=1 on row y=0), each overflowing by 99-K.
     pos = np.zeros((100, 2), np.float32)
     mass = np.ones(100, np.float32)
     pos[0] = [100.0, 100.0]  # spread the extent so cells are well-defined
-    n_over = int(overflow_count(pos, mass, levels=3, neighbor_k=32))
-    assert n_over == 99 - 32  # 99 bodies share one cell, 32 kept
+    n_over = int(overflow_count(pos, mass, levels=3, neighbor_k=32, ring=1))
+    assert n_over == 2 * (99 - 32)
+    # a big-enough row cap clears it
+    assert int(overflow_count(pos, mass, levels=3, neighbor_k=128)) == 0
 
 
 def test_dead_bodies_excluded():
