@@ -386,7 +386,9 @@ def _near_field(i_pos, i_vel, i_mass, i_radius, i_ids,
               mass[order], radius[order], id_hi, id_lo] if need_vel else
              [pos[order, 0], pos[order, 1],
               mass[order], radius[order], id_hi, id_lo])
-    sf = jnp.stack(lanes, axis=1)
+    # k zero rows of tail padding: masked window rows gather the zero pad
+    # (row n) instead of needing an index clip; padding is inert (mass 0)
+    sf = jnp.pad(jnp.stack(lanes, axis=1), ((0, k), (0, 0)))
 
     nchunks = -(-n_i // chunk)
     npad = nchunks * chunk
@@ -425,7 +427,11 @@ def _near_field(i_pos, i_vel, i_mass, i_radius, i_ids,
             cnt = jnp.minimum(ends[nyc * g + right] - st, k)
             slots = st[:, None] + ks               # [C, k]
             ok = ok_row[:, None] & (ks < cnt[:, None])
-            idx = jnp.clip(jnp.where(ok, slots, 0), 0, n - 1)
+            # per-row gather (sf[idx]) is the FAST form here: a vmapped
+            # [k, lanes] dynamic_slice per window (gather with full
+            # slice_sizes) was measured 7x SLOWER on v5e — XLA:TPU handles
+            # many small row gathers better than strided block gathers
+            idx = jnp.where(ok, slots, n)          # n = zero pad row
             fj = jnp.where(ok[..., None], sf[idx], 0.0)  # [C, k, 6|8]
             pj = fj[..., 0:2]
             if need_vel:
