@@ -146,6 +146,18 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
         mesh = make_mesh(cfg.shards)
         state = shard_state(pad_to_shards(state, cfg.shards), mesh)
 
+    if cfg.force_model == "bh" and cfg.bh_levels == 0:
+        # density-aware finest level from the actual starting state:
+        # coarse (fast) for near-uniform scenes, finer where clustering
+        # would overflow the near-field row cap (barneshut.pick_levels)
+        from dataclasses import replace as _dc_replace
+        from nbodyax.physics.barneshut import pick_levels
+        cfg = _dc_replace(cfg, bh_levels=pick_levels(
+            state.pos, state.mass, neighbor_k=cfg.bh_neighbor_k,
+            ring=cfg.bh_ring))
+        if not quiet:
+            print(f"bhLevels auto-selected: {cfg.bh_levels}")
+
     step = build_step(cfg, capacity=state.capacity)
     meter = StepMeter(capacity=state.capacity)
     writer = (FrameWriter(cfg.image_path)

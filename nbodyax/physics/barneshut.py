@@ -52,16 +52,48 @@ from nbodyax.physics.pairwise import (PairAccumulators, combine_accumulators,
                                       empty_accumulators)
 
 __all__ = ["bh_accumulators", "bh_local_accumulators",
-           "auto_levels", "overflow_count"]
+           "auto_levels", "pick_levels", "overflow_count"]
 
 _NEG_INF = jnp.float32(-jnp.inf)
 
 
-def auto_levels(n: int, target_occupancy: int = 4,
+def auto_levels(n: int, target_occupancy: int = 16,
                 max_levels: int = 10) -> int:
-    """Finest level so average occupancy ~= target (grid side 2^levels)."""
+    """Finest level so average occupancy ~= target (grid side 2^levels).
+
+    Occupancy 16 tuned on v5e at N=1M: the near field is CAP-bound (it
+    gathers bhNeighborK rows per window regardless of occupancy, so coarser
+    cells are nearly free until row occupancy approaches K), while each
+    extra level costs a full interaction-list gather sweep — and the finest
+    level's is the most expensive (largest cell table, worst locality).
+    levels=8 vs 9 at N=1M: far field 0.93 s -> 0.52 s, same accuracy class
+    (the near window covers MORE area exactly)."""
     cells = max(4, n // max(1, target_occupancy))
-    return max(2, min(max_levels, math.ceil(math.log(cells, 4) )))
+    return max(2, min(max_levels, math.ceil(math.log(cells, 4))))
+
+
+def pick_levels(pos, mass, *, neighbor_k: int = 64, ring: int = 1,
+                max_levels: int = 10, tolerance: float = 0.01) -> int:
+    """Density-aware finest-level choice from an actual state.
+
+    ``auto_levels`` assumes near-uniform density; clustered scenes (galaxy
+    cores) can overflow the per-row near-field cap at that occupancy. This
+    probes ``overflow_count`` on the given state and refines until the
+    overflow fraction is within ``tolerance`` — coarse (fast) where density
+    allows, fine where it doesn't. The default 1% tolerance keeps truncation
+    within the model's ring=1 far-field accuracy class (uniform scenes sit
+    at ~0.2% and stay coarse; galaxy scenes at ~10% refine one level). The
+    driver calls this once at startup when ``bhLevels=0``; the logged
+    ``bh_overflow`` metric catches later density drift."""
+    n = pos.shape[0]
+    lv = auto_levels(n, max_levels=max_levels)
+    while lv < max_levels:
+        ov = int(overflow_count(pos, mass, levels=lv, neighbor_k=neighbor_k,
+                                ring=ring))
+        if ov <= n * tolerance:
+            break
+        lv += 1
+    return lv
 
 
 def _extent(pos, alive):

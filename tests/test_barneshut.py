@@ -107,8 +107,10 @@ def test_dead_bodies_excluded():
 
 
 def test_auto_levels():
-    assert auto_levels(1024) == 4
-    assert auto_levels(1_000_000) == 9
+    # target occupancy 16 (v5e-tuned: near field is cap-bound, far field
+    # pays per level — see auto_levels docstring)
+    assert auto_levels(1024) == 3
+    assert auto_levels(1_000_000) == 8
     assert auto_levels(100_000_000) == 10  # capped
 
 
@@ -202,3 +204,22 @@ def test_near_field_id_packing_exact_beyond_2pow24():
     # the halves must be exactly f32-representable (integral and < 2^24)
     assert float(np.asarray(hi).max()) < 2 ** 24
     assert float(np.asarray(lo).max()) < 4096
+
+
+def test_pick_levels_density_aware():
+    """Uniform scenes keep the fast coarse default; clustered scenes refine
+    until near-field row overflow is within tolerance."""
+    from nbodyax.config import SimConfig
+    from nbodyax.physics.barneshut import pick_levels
+    from nbodyax.scenes import init_scene
+
+    n = 65536
+    uni = init_scene(SimConfig(particle_count=n), parity=False)
+    gal = init_scene(SimConfig(particle_count=n, scene="galaxy",
+                               softening=100.0), parity=False)
+    lv_uni = pick_levels(uni.pos, uni.mass, neighbor_k=64)
+    lv_gal = pick_levels(gal.pos, gal.mass, neighbor_k=64)
+    assert lv_uni == auto_levels(n)          # uniform: no refinement needed
+    assert lv_gal > lv_uni                   # clustered: refined finer
+    assert int(overflow_count(gal.pos, gal.mass, levels=lv_gal,
+                              neighbor_k=64)) <= n * 0.01
