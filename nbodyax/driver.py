@@ -175,11 +175,11 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
 
     host_loop = getattr(step, "_host_loop", False)
     runners = {1: step}
-    # only the RECURRING window sizes get their own fori_loop compile: the
-    # full stride and (with frames on) the stride-1 realign after a render.
-    # One-off tails (total % stride) host-loop the already-compiled step —
+    snap_runners = {}
+    # only the RECURRING window size (the stride) gets its own compile;
+    # one-off tails (total % stride) host-loop the already-compiled step —
     # a handful of dispatches beats a multi-minute one-shot compile.
-    compiled_ks = {stride, stride - 1}
+    compiled_ks = {stride}
 
     def advance_k(s, k):
         """k steps as one device dispatch (jitted fori_loop, cached per
@@ -194,6 +194,28 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
             runners[k] = run
         return run(s)
 
+    def advance_frame_window(s, k):
+        """k steps + the post-first-step frame (reference content,
+        nbody.cu:529-538) as ONE fused device dispatch: on high-latency
+        transports an extra dispatch per frame window costs more than the
+        in-jit rasterize (~N*patch^2 VPU ops) riding the metered window."""
+        if host_loop or k not in compiled_ks:
+            s = advance_k(s, 1)
+            img = render_state(s, cfg)
+            if k > 1:
+                s = advance_k(s, k - 1)
+            return s, img
+        run = snap_runners.get(k)
+        if run is None:
+            @jax.jit
+            def run(s, _k=k):
+                s1 = step(s)
+                img = render_state(s1, cfg)
+                out = jax.lax.fori_loop(0, _k - 1, lambda i, st: step(st), s1)
+                return out, img
+            snap_runners[k] = run
+        return run(s)
+
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
     try:
@@ -202,20 +224,13 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
             k = min(stride, cfg.total_iterations - iteration)
             if writer is not None and iteration % cfg.save_image_every == 0:
                 # reference frame iteration_j holds *post-step-j* state: the
-                # render launches after iteration j's kernels, under j's index
-                # (nbody.cu:529-538). Advance one step, render, realign to
-                # the stride grid. Rendering stays OUTSIDE the metered
-                # windows so frame cost never skews step throughput.
+                # render launches after iteration j's kernels, under j's
+                # index (nbody.cu:529-538) — fused into the window dispatch
                 meter.start()
-                state = advance_k(state, 1)
-                meter.stop(state, steps=1)
-                img = render_state(state, cfg)
+                state, img = advance_frame_window(state, k)
+                meter.stop(state, steps=k)
                 writer.submit(iteration, img)   # async host write
                 frames += 1
-                if k > 1:
-                    meter.start()
-                    state = advance_k(state, k - 1)
-                    meter.stop(state, steps=k - 1)
             else:
                 meter.start()
                 state = advance_k(state, k)
