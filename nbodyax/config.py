@@ -132,6 +132,14 @@ class SimConfig:
             raise ConfigError(f"unknown boundaryMode {self.boundary_mode!r}")
         if self.integrator not in ("euler", "leapfrog"):
             raise ConfigError(f"unknown integrator {self.integrator!r}")
+        if self.energy_every:
+            # the energy block only fires on log boundaries; enforce the
+            # documented contract instead of silently logging nothing
+            if not self.log_every or self.energy_every % self.log_every:
+                raise ConfigError(
+                    "energyEvery must be a (nonzero) multiple of logEvery "
+                    f"(got energyEvery={self.energy_every}, "
+                    f"logEvery={self.log_every})")
         if self.backend not in ("auto", "jnp", "pallas"):
             raise ConfigError(f"unknown backend {self.backend!r}")
         if self.force_model not in ("exact", "bh"):

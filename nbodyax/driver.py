@@ -51,11 +51,27 @@ def _run_k(step, state, k):
 MAX_PAIRS_PER_DISPATCH = 4.5e12
 
 
-def build_step(cfg: SimConfig,
-               capacity: int = 0) -> Callable[[SimState], SimState]:
+def build_step(cfg: SimConfig, capacity: int = 0,
+               state: Optional[SimState] = None,
+               quiet: bool = True) -> Callable[[SimState], SimState]:
     """Step function per config: physics params + backend (+ ring when
     shards > 1, + split dispatches when capacity^2 exceeds the per-dispatch
-    pair budget)."""
+    pair budget).
+
+    With ``forceModel=bh`` and ``bhLevels=0``, passing the starting ``state``
+    resolves the finest level density-aware (barneshut.pick_levels: coarse
+    where the scene allows, finer where clustering would overflow the
+    near-field row cap). Without a state, levels fall back to the
+    uniform-density ``auto_levels`` heuristic."""
+    if cfg.force_model == "bh" and cfg.bh_levels == 0 and state is not None:
+        import dataclasses
+
+        from nbodyax.physics.barneshut import pick_levels
+        cfg = dataclasses.replace(cfg, bh_levels=pick_levels(
+            state.pos, state.mass, neighbor_k=cfg.bh_neighbor_k,
+            ring=cfg.bh_ring))
+        if not quiet:
+            print(f"bhLevels auto-selected: {cfg.bh_levels}")
     p = PhysicsParams.from_config(cfg)
     capacity = capacity or cfg.particle_count
     if cfg.shards > 1:

@@ -418,9 +418,9 @@ def _near_field(i_pos, i_vel, i_mass, i_radius, i_ids,
               mass[order], radius[order], id_hi, id_lo] if need_vel else
              [pos[order, 0], pos[order, 1],
               mass[order], radius[order], id_hi, id_lo])
-    # k zero rows of tail padding: masked window rows gather the zero pad
-    # (row n) instead of needing an index clip; padding is inert (mass 0)
-    sf = jnp.pad(jnp.stack(lanes, axis=1), ((0, k), (0, 0)))
+    # one zero row of tail padding: masked window rows gather pad row n —
+    # inert (mass 0) for every channel, so no post-gather select is needed
+    sf = jnp.pad(jnp.stack(lanes, axis=1), ((0, 1), (0, 0)))
 
     nchunks = -(-n_i // chunk)
     npad = nchunks * chunk
@@ -463,8 +463,8 @@ def _near_field(i_pos, i_vel, i_mass, i_radius, i_ids,
             # [k, lanes] dynamic_slice per window (gather with full
             # slice_sizes) was measured 7x SLOWER on v5e — XLA:TPU handles
             # many small row gathers better than strided block gathers
-            idx = jnp.where(ok, slots, n)          # n = zero pad row
-            fj = jnp.where(ok[..., None], sf[idx], 0.0)  # [C, k, 6|8]
+            idx = jnp.where(ok, slots, n)          # n = the zero pad row
+            fj = sf[idx]                           # [C, k, 6|8]
             pj = fj[..., 0:2]
             if need_vel:
                 vj = fj[..., 2:4]

@@ -15,10 +15,11 @@ accounting; see also BENCHMARKS.md):
   takes seconds at this N (BENCHMARKS.md config 6). Momentum mode gathers
   the accumulators too (~36 B/body more) — still noise.
 - **HBM**: gathered arrays (24 B/body) + sorted packed partner features
-  (32 B/body: 8 f32 lanes, ids split across two exactly-representable
-  lanes — exact at any i32 N, barneshut._pack_id) + sort/index arrays
-  (~12 B/body) + level grids (24 B * 4^levels, ~6 MB at levels=10)
-  ~= 68 B/body ~= 272 MB at N=4M on a 16 GB chip.
+  (24 B/body: 6 f32 lanes — 8 in elastic mode, which also packs partner
+  velocities; ids split across two exactly-f32-representable lanes, exact
+  at any i32 N, barneshut._pack_id) + sort/index arrays (~12 B/body) +
+  level grids (24 B * 4^levels, ~6 MB at levels=10)
+  ~= 60-68 B/body ~= 240-272 MB at N=4M on a 16 GB chip.
 - Therefore O(N) replication only becomes a binding constraint beyond ~10^8
   bodies; space-partitioned sharding (contiguous cell ranges per shard +
   ring-halo exchange, O(N/P) memory) buys nothing at any currently

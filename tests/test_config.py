@@ -93,3 +93,13 @@ def test_overrides():
 def test_validation():
     with pytest.raises(ConfigError):
         parse_config_text("collisionMode=bogus\n")
+
+
+def test_energy_every_requires_log_every_multiple():
+    import pytest
+    from nbodyax.config import ConfigError, SimConfig
+    with pytest.raises(ConfigError, match="energyEvery"):
+        SimConfig(energy_every=10, log_every=0).validate()
+    with pytest.raises(ConfigError, match="energyEvery"):
+        SimConfig(energy_every=10, log_every=7).validate()
+    SimConfig(energy_every=10, log_every=5).validate()  # ok
