@@ -84,6 +84,11 @@ class SimConfig:
     image_path: str = "iter_img"
 
     # --- framework extensions (warn-ignored by the reference parser) ---
+    dimensions: int = 2                   # 2 (reference) | 3 (extension: full
+                                          # 3-D pair physics, frames render
+                                          # the xy projection)
+    field_depth: int = 0                  # z half-extent for dimensions=3
+                                          # (0 = use fieldWidth)
     seed: int = 1024                      # reference hardcodes 1024 (nbody.cu:403)
     softening: float = 0.0                # eps in 1/(d^2+eps^2)^{3/2}; 0 = reference (Q4)
     collision_mode: str = "reference"     # reference | momentum | elastic | none
@@ -126,6 +131,13 @@ class SimConfig:
     def validate(self) -> "SimConfig":
         if self.particle_count <= 0:
             raise ConfigError("particleCount must be positive")
+        if self.dimensions not in (2, 3):
+            raise ConfigError(f"dimensions must be 2 or 3 "
+                              f"(got {self.dimensions})")
+        if self.dimensions == 3 and self.force_model == "bh":
+            raise ConfigError(
+                "forceModel=bh is 2-D only (quadtree far field); use "
+                "forceModel=exact with dimensions=3")
         if self.collision_mode not in ("reference", "momentum", "elastic", "none"):
             raise ConfigError(f"unknown collisionMode {self.collision_mode!r}")
         if self.boundary_mode not in ("reference", "clamp", "none"):
@@ -174,6 +186,8 @@ _KEYS = {
     "fieldHeight": ("field_height", _stoi),
     "imagePath": ("image_path", lambda s, k: s),
     # framework extensions
+    "dimensions": ("dimensions", _stoi),
+    "fieldDepth": ("field_depth", _stoi),
     "seed": ("seed", _stoi),
     "softening": ("softening", _stof),
     "collisionMode": ("collision_mode", lambda s, k: s.strip()),

@@ -102,7 +102,7 @@ def build_step(cfg: SimConfig, capacity: int = 0,
     n_splits = int(np.ceil(float(capacity) ** 2 / MAX_PAIRS_PER_DISPATCH))
     if n_splits > 1 and resolve_backend(cfg.backend) == "pallas":
         from nbodyax.physics.step import make_split_step
-        step = make_split_step(p, n_splits)
+        step = make_split_step(p, n_splits, dim=cfg.dimensions)
         step._host_loop = True  # driver: don't wrap in lax.fori_loop
         return step
     accum_fn = build_accum_fn(cfg.backend, p)

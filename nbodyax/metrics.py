@@ -34,13 +34,16 @@ def conservation_scalars(state: SimState):
     m = jnp.where(alive, state.mass, 0.0)
     mom = jnp.sum(m[:, None] * state.vel, axis=0)
     ke = 0.5 * jnp.sum(m * jnp.sum(state.vel * state.vel, axis=1))
-    return {
+    out = {
         "alive": jnp.sum(alive).astype(jnp.int32),
         "total_mass": jnp.sum(m),
         "momentum_x": mom[0],
         "momentum_y": mom[1],
         "kinetic_energy": ke,
     }
+    if state.vel.shape[-1] == 3:
+        out["momentum_z"] = mom[2]
+    return out
 
 
 @partial(jax.jit, static_argnames=("eps",))

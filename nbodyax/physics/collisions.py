@@ -62,15 +62,15 @@ def resolve_collisions(pos, vel, mass, radius, acc: PairAccumulators, *,
         return pos, vel, new_mass, new_radius
 
     if mode == "momentum":
-        n = mass.shape[0]
+        n, dim = pos.shape
         iters = max(1, (n - 1).bit_length())
         root = _pointer_double(acc.parent, iters)
         idx = lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
         alive = mass > 0
         root = jnp.where(alive, root, idx)  # dead slots stay self-rooted
         msum = jnp.zeros(n, jnp.float32).at[root].add(mass)
-        psum = jnp.zeros((n, 2), jnp.float32).at[root].add(mass[:, None] * vel)
-        xsum = jnp.zeros((n, 2), jnp.float32).at[root].add(mass[:, None] * pos)
+        psum = jnp.zeros((n, dim), jnp.float32).at[root].add(mass[:, None] * vel)
+        xsum = jnp.zeros((n, dim), jnp.float32).at[root].add(mass[:, None] * pos)
         r2sum = jnp.zeros(n, jnp.float32).at[root].add(radius * radius)
         is_root = (root == idx) & alive
         safe_m = jnp.where(msum > 0, msum, 1.0)

@@ -24,18 +24,23 @@ cannot lift anyway (reductions over the lane axis are cheap on the VPU; a
 [TI,TJ]x[TJ,3] MXU matmul pads its 3-wide output to 128 lanes and costs more
 than the ops it saves).
 
-Accumulator channel layout (one f32[N, 8] array):
-  ch0 fx, ch1 fy                              (all modes; additive)
-  ch2 gained_mass | dvx                       (reference | elastic; additive)
-  ch3 gained_radius | dvy                     (reference | elastic; additive)
-  ch4 died_count                              (reference; additive, decoded
-                                               as >0)
-  ch5 best_mass                               (momentum; max-combined; stays
+The kernel is dimension-generic (``dim`` static argument, 2 or 3; the
+reference is 2-D, 3-D is a framework extension). Feature layout for D
+dimensions (NUM_FEATS = 8 fits both): pos[0:D], vel[D:2D], mass at 2D,
+radius at 2D+1, zero padding to 8.
+
+Accumulator channel layout (one f32[N, 8] array, positions a function of D):
+  ch[0:D]   force components                  (all modes; additive)
+  ch[D]     gained_mass | dvx                 (reference | elastic; additive)
+  ch[D+1]   gained_radius | dvy               (reference | elastic; additive)
+  ch[D+2]   died_count | dvz (D=3)            (reference; additive, decoded
+                                               as >0 | elastic; additive)
+  ch6       best_mass                         (momentum; max-combined; stays
                                                _NEG_INF iff no candidate)
-  ch6, ch7 unused
+  remaining channels unused (zero; channels [0:6] are additive in every mode)
 
 Momentum mode additionally emits an i32[N, 8] block (col 0 = parent body id,
-combined with ch5 across j-steps) so parent ids are exact at any N an i32 can
+combined with ch6 across j-steps) so parent ids are exact at any N an i32 can
 index — ids used to ride an f32 channel, which capped momentum mode at 2^24
 bodies.
 """
@@ -66,7 +71,8 @@ _I32_MAX = np.iinfo(np.int32).max           # sentinel parent: no candidate
 
 
 def body_features(pos, vel, mass, radius) -> jax.Array:
-    """Pack state into the kernel's [N, NUM_FEATS] i-side feature layout.
+    """Pack state into the kernel's [N, NUM_FEATS] i-side feature layout
+    (pos[0:D], vel[D:2D], mass, radius, zero padding; D = pos.shape[-1]).
 
     Dead bodies (mass <= 0) get radius 0 here. With that, every inner-loop
     contribution of a dead or padded j body vanishes without explicit alive
@@ -75,15 +81,17 @@ def body_features(pos, vel, mass, radius) -> jax.Array:
     nbody.cu:219) is zeroed by this clamp. Saves ~3 VPU ops/pair in the
     kernel's hot loop.
     """
-    n = pos.shape[0]
+    n, d = pos.shape
     z = jnp.zeros((n,), jnp.float32)
-    return jnp.stack([pos[:, 0], pos[:, 1], vel[:, 0], vel[:, 1],
-                      mass, jnp.where(mass > 0, radius, 0.0), z, z], axis=1)
+    cols = ([pos[:, k] for k in range(d)] + [vel[:, k] for k in range(d)]
+            + [mass, jnp.where(mass > 0, radius, 0.0)])
+    cols += [z] * (NUM_FEATS - len(cols))
+    return jnp.stack(cols, axis=1)
 
 
 def _pair_kernel(ioff_ref, joff_ref, xi_ref, xj_ref, out_ref, *opt_refs,
                  mode: str, eps2: float, growth: float,
-                 tile_i: int, tile_j: int):
+                 tile_i: int, tile_j: int, dim: int):
     """One (i-tile, j-tile) visit. xi: [TI, F] body rows; xj: [F, TJ] body
     columns (pre-transposed on the host side so no in-kernel transposes are
     needed); out: [TI, NUM_CH] accumulator rows, revisited across j.
@@ -91,20 +99,18 @@ def _pair_kernel(ioff_ref, joff_ref, xi_ref, xj_ref, out_ref, *opt_refs,
     par_ref = opt_refs[0] if mode == "momentum" else None
     jstep = pl.program_id(1)
 
-    # i-side columns [TI, 1]
-    xi = xi_ref[:, 0:1]
-    yi = xi_ref[:, 1:2]
-    mi = xi_ref[:, 4:5]
-    ri = xi_ref[:, 5:6]
-    # j-side rows [1, TJ]
-    xj = xj_ref[0:1, :]
-    yj = xj_ref[1:2, :]
-    mj = xj_ref[4:5, :]
-    rj = xj_ref[5:6, :]
+    # i-side columns [TI, 1]; j-side rows [1, TJ]
+    pi = [xi_ref[:, d:d + 1] for d in range(dim)]
+    mi = xi_ref[:, 2 * dim:2 * dim + 1]
+    ri = xi_ref[:, 2 * dim + 1:2 * dim + 2]
+    pj = [xj_ref[d:d + 1, :] for d in range(dim)]
+    mj = xj_ref[2 * dim:2 * dim + 1, :]
+    rj = xj_ref[2 * dim + 1:2 * dim + 2, :]
 
-    dx = xj - xi                           # [TI, TJ]
-    dy = yj - yi
-    d2 = dx * dx + dy * dy
+    dp = [b - a for a, b in zip(pi, pj)]   # p_j - p_i, dim x [TI, TJ]
+    d2 = dp[0] * dp[0]
+    for c in dp[1:]:
+        d2 = d2 + c * c
     rsum = ri + rj
     # overlap_raw includes self-pairs (d2=0 <= rsum^2) and any overlap with a
     # dead body (dead radius is clamped to 0 in body_features, so only when
@@ -141,21 +147,21 @@ def _pair_kernel(ioff_ref, joff_ref, xi_ref, xj_ref, out_ref, *opt_refs,
         w = wm if eps2 > 0.0 else jnp.where(d2 > 0, wm, 0.0)
     else:
         w = jnp.where(overlap_raw, 0.0, wm)
-    fx = jnp.sum(w * dx, axis=1, keepdims=True)
-    fy = jnp.sum(w * dy, axis=1, keepdims=True)
+    forces = [jnp.sum(w * c, axis=1, keepdims=True) for c in dp]
 
     zcol = jnp.zeros((tile_i, 1), jnp.float32)
-    ch2 = ch3 = ch4 = zcol
-    ch5 = jnp.full((tile_i, 1), _NEG_INF)
+    mode_cols = []                         # channels [dim:...], additive
+    best = jnp.full((tile_i, 1), _NEG_INF)  # ch6, max-combined (momentum)
     best_j = None
 
     if mode == "reference":
         heavier = mi >= mj                 # nbody.cu:215 (>=: quirk Q1)
         merge = overlap & heavier
-        ch2 = jnp.sum(jnp.where(merge, mj, 0.0), axis=1, keepdims=True)
-        ch3 = jnp.sum(jnp.where(merge, rj * growth, 0.0), axis=1, keepdims=True)
-        ch4 = jnp.sum(jnp.where(overlap & ~heavier, 1.0, 0.0), axis=1,
-                      keepdims=True)
+        mode_cols = [
+            jnp.sum(jnp.where(merge, mj, 0.0), axis=1, keepdims=True),
+            jnp.sum(jnp.where(merge, rj * growth, 0.0), axis=1, keepdims=True),
+            jnp.sum(jnp.where(overlap & ~heavier, 1.0, 0.0), axis=1,
+                    keepdims=True)]
     elif mode == "momentum":
         # j beats i if heavier, or equal mass with lower global id — the id
         # comparison via the same local-difference trick as above. beats
@@ -178,11 +184,13 @@ def _pair_kernel(ioff_ref, joff_ref, xi_ref, xj_ref, out_ref, *opt_refs,
         best_local = -jnp.max(order, axis=1, keepdims=True)
         best_j = jnp.where(bm > _NEG_INF,
                            j_base + best_local.astype(jnp.int32), _I32_MAX)
-        ch5 = bm
+        best = bm
     elif mode == "elastic":
-        vxi, vyi = xi_ref[:, 2:3], xi_ref[:, 3:4]
-        vxj, vyj = xj_ref[2:3, :], xj_ref[3:4, :]
-        vdotp = (vxj - vxi) * dx + (vyj - vyi) * dy
+        vi = [xi_ref[:, dim + d:dim + d + 1] for d in range(dim)]
+        vj = [xj_ref[dim + d:dim + d + 1, :] for d in range(dim)]
+        vdotp = (vj[0] - vi[0]) * dp[0]
+        for d in range(1, dim):
+            vdotp = vdotp + (vj[d] - vi[d]) * dp[d]
         # vdotp < 0 alone excludes self-pairs and exact coincidence (there
         # dx = dy = 0 so vdotp == 0 exactly) — no id math or d2 > 0 needed
         approaching = overlap_raw & (vdotp < 0)
@@ -197,10 +205,11 @@ def _pair_kernel(ioff_ref, joff_ref, xi_ref, xj_ref, out_ref, *opt_refs,
         # The physical factor 2 is applied once in decode_raw, not per pair.
         rs = lax.rsqrt((mi + mj) * d2)
         coef = jnp.where(approaching, vdotp * (rs * rs) * mj, 0.0)
-        ch2 = jnp.sum(coef * dx, axis=1, keepdims=True)
-        ch3 = jnp.sum(coef * dy, axis=1, keepdims=True)
+        mode_cols = [jnp.sum(coef * c, axis=1, keepdims=True) for c in dp]
 
-    block = jnp.concatenate([fx, fy, ch2, ch3, ch4, ch5, zcol, zcol], axis=1)
+    cols = forces + mode_cols              # additive channels [0:6]
+    cols += [zcol] * (6 - len(cols))
+    block = jnp.concatenate(cols + [best, zcol], axis=1)
     zpar = (jnp.zeros((tile_i, 7), jnp.int32) if mode == "momentum" else None)
 
     @pl.when(jstep == 0)
@@ -212,17 +221,17 @@ def _pair_kernel(ioff_ref, joff_ref, xi_ref, xj_ref, out_ref, *opt_refs,
     @pl.when(jstep > 0)
     def _():
         prev = out_ref[:]
-        add = prev[:, 0:5] + block[:, 0:5]
+        add = prev[:, 0:6] + block[:, 0:6]
         if mode == "momentum":
-            old_bm, new_bm = prev[:, 5:6], block[:, 5:6]
+            old_bm, new_bm = prev[:, 6:7], block[:, 6:7]
             old_par = par_ref[:, 0:1]
             win = (new_bm > old_bm) | ((new_bm == old_bm) & (best_j < old_par))
             tail = jnp.concatenate([jnp.maximum(old_bm, new_bm),
-                                    prev[:, 6:8]], axis=1)
+                                    prev[:, 7:8]], axis=1)
             par_ref[:] = jnp.concatenate(
                 [jnp.where(win, best_j, old_par), zpar], axis=1)
         else:
-            tail = prev[:, 5:8]
+            tail = prev[:, 6:8]
         out_ref[:] = jnp.concatenate([add, tail], axis=1)
 
 
@@ -238,19 +247,22 @@ def _pad_to(x, size, axis):
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "eps", "growth_rate", "tile_i", "tile_j",
-                     "interpret"))
+                     "interpret", "dim"))
 def tile_accumulators_raw(feats_i, feats_j_t, i_offset, j_offset, *,
                           mode: str, eps: float, growth_rate: float,
                           tile_i: int = DEFAULT_TILE_I,
                           tile_j: int = DEFAULT_TILE_J,
-                          interpret: Optional[bool] = None):
+                          interpret: Optional[bool] = None,
+                          dim: int = 2):
     """Raw channel accumulators of i bodies against j bodies.
 
     feats_i: f32[Ni, NUM_FEATS] (rows); feats_j_t: f32[NUM_FEATS, Nj]
     (pre-transposed columns). i_offset/j_offset: global index of row/column 0
-    (scalars; dynamic so ring hops don't retrace). Returns
-    (f32[Ni, NUM_CH], parent) where parent is i32[Ni, 8] (col 0 = parent id)
-    in momentum mode and None otherwise.
+    (scalars; dynamic so ring hops don't retrace). ``dim`` must match the
+    dimensionality the features were packed with (body_features; the packed
+    [N, 8] layout does not encode it). Returns (f32[Ni, NUM_CH], parent)
+    where parent is i32[Ni, 8] (col 0 = parent id) in momentum mode and None
+    otherwise.
     """
     ni, nj = feats_i.shape[0], feats_j_t.shape[1]
     tile_i = min(tile_i, max(8, ni))
@@ -265,7 +277,8 @@ def tile_accumulators_raw(feats_i, feats_j_t, i_offset, j_offset, *,
     grid = (ni_pad // tile_i, nj_pad // tile_j)
     kernel = functools.partial(
         _pair_kernel, mode=mode, eps2=float(eps) ** 2,
-        growth=float(np.float32(growth_rate)), tile_i=tile_i, tile_j=tile_j)
+        growth=float(np.float32(growth_rate)), tile_i=tile_i, tile_j=tile_j,
+        dim=dim)
 
     out_block = pl.BlockSpec((tile_i, NUM_CH), lambda i, j: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -277,7 +290,7 @@ def tile_accumulators_raw(feats_i, feats_j_t, i_offset, j_offset, *,
         out_specs = out_block
         out_shape = jax.ShapeDtypeStruct((ni_pad, NUM_CH), jnp.float32)
 
-    flops_per_pair = 22 if mode != "none" else 14
+    flops_per_pair = (22 if mode != "none" else 14) + 8 * (dim - 2)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -314,10 +327,11 @@ def tile_accumulators_raw(feats_i, feats_j_t, i_offset, j_offset, *,
     return out[:ni], None
 
 
-def decode_raw(raw, parent_raw, i_offset, mass_i, mode: str) -> PairAccumulators:
+def decode_raw(raw, parent_raw, i_offset, mass_i, mode: str,
+               dim: int = 2) -> PairAccumulators:
     """Unpack the channel block(s) into PairAccumulators (see module
-    docstring). ``parent_raw`` is the momentum-mode i32 block (None for other
-    modes).
+    docstring for the dim-dependent channel positions). ``parent_raw`` is the
+    momentum-mode i32 block (None for other modes).
 
     The hot loop carries no alive-i masks (dead-i rows compute junk); they are
     zeroed here, once per i body, to match the oracle exactly.
@@ -326,25 +340,25 @@ def decode_raw(raw, parent_raw, i_offset, mass_i, mode: str) -> PairAccumulators
     alive = mass_i > 0
     ids = (jnp.asarray(i_offset, jnp.int32)
            + lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1))
-    force = jnp.where(alive[:, None], raw[:, 0:2], 0.0)
+    force = jnp.where(alive[:, None], raw[:, 0:dim], 0.0)
     z = jnp.zeros((n,), jnp.float32)
     gm = gr = z
     died = jnp.zeros((n,), bool)
     best_mass = jnp.full((n,), -jnp.inf, jnp.float32)
     parent = ids
-    dv = jnp.zeros((n, 2), jnp.float32)
+    dv = jnp.zeros((n, dim), jnp.float32)
     if mode == "reference":
-        gm = jnp.where(alive, raw[:, 2], 0.0)
-        gr = jnp.where(alive, raw[:, 3], 0.0)
-        died = (raw[:, 4] > 0) & alive
+        gm = jnp.where(alive, raw[:, dim], 0.0)
+        gr = jnp.where(alive, raw[:, dim + 1], 0.0)
+        died = (raw[:, dim + 2] > 0) & alive
     elif mode == "momentum":
-        any_cand = (raw[:, 5] > _NEG_INF) & alive
-        best_mass = jnp.where(any_cand, raw[:, 5], -jnp.inf)
+        any_cand = (raw[:, 6] > _NEG_INF) & alive
+        best_mass = jnp.where(any_cand, raw[:, 6], -jnp.inf)
         parent = jnp.where(any_cand, parent_raw[:, 0], ids)
     elif mode == "elastic":
         # the kernel accumulates m_j/(m_i+m_j) * vdotp/d2 * dp; the impulse
         # formula's factor 2 is applied here, once per i body
-        dv = jnp.where(alive[:, None], 2.0 * raw[:, 2:4], 0.0)
+        dv = jnp.where(alive[:, None], 2.0 * raw[:, dim:2 * dim], 0.0)
     return PairAccumulators(force=force, gained_mass=gm, gained_radius=gr,
                             died=died, best_mass=best_mass, parent=parent,
                             dv=dv)
@@ -358,8 +372,10 @@ def pallas_pair_accumulators(pos, vel, mass, radius, *, eps: float = 0.0,
                              interpret: Optional[bool] = None
                              ) -> PairAccumulators:
     """Drop-in Pallas replacement for physics.pairwise.pair_accumulators."""
+    dim = pos.shape[-1]
     feats = body_features(pos, vel, mass, radius)
     raw, par = tile_accumulators_raw(feats, feats.T, 0, 0, mode=mode, eps=eps,
                                      growth_rate=growth_rate, tile_i=tile_i,
-                                     tile_j=tile_j, interpret=interpret)
-    return decode_raw(raw, par, 0, mass, mode)
+                                     tile_j=tile_j, interpret=interpret,
+                                     dim=dim)
+    return decode_raw(raw, par, 0, mass, mode, dim=dim)

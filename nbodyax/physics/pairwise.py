@@ -45,8 +45,10 @@ __all__ = ["PairAccumulators", "pair_accumulators", "pair_accumulators_chunk",
 
 class PairAccumulators(NamedTuple):
     """Per-body reductions over a set of partner bodies (per-i arrays).
+    D is the spatial dimensionality (2 for the reference; 3 supported as a
+    framework extension — all pair math here is shape-generic).
 
-    force:         f32[C,2] un-normalized gravity sum (pre G scaling)
+    force:         f32[C,D] un-normalized gravity sum (pre G scaling)
     gained_mass:   f32[C]   reference-mode absorbed mass   (nbody.cu:218)
     gained_radius: f32[C]   reference-mode absorbed radius (nbody.cu:219,
                             growth rate already applied)
@@ -55,7 +57,7 @@ class PairAccumulators(NamedTuple):
     best_mass:     f32[C]   momentum-mode: mass of the strongest overlapping
                             body that beats i (-inf when none)
     parent:        i32[C]   momentum-mode: global index of that body, else i
-    dv:            f32[C,2] elastic-mode accumulated impulse velocity change
+    dv:            f32[C,D] elastic-mode accumulated impulse velocity change
     """
 
     force: jax.Array
@@ -67,16 +69,16 @@ class PairAccumulators(NamedTuple):
     dv: jax.Array
 
 
-def empty_accumulators(ii: jax.Array) -> PairAccumulators:
+def empty_accumulators(ii: jax.Array, dim: int = 2) -> PairAccumulators:
     """Identity element of the accumulator monoid for i bodies ``ii``."""
     c = ii.shape[0]
-    z2 = jnp.zeros((c, 2), jnp.float32)
+    zd = jnp.zeros((c, dim), jnp.float32)
     z1 = jnp.zeros((c,), jnp.float32)
     return PairAccumulators(
-        force=z2, gained_mass=z1, gained_radius=z1,
+        force=zd, gained_mass=z1, gained_radius=z1,
         died=jnp.zeros((c,), bool),
         best_mass=jnp.full((c,), -jnp.inf, jnp.float32),
-        parent=ii.astype(jnp.int32), dv=z2)
+        parent=ii.astype(jnp.int32), dv=zd)
 
 
 def combine_accumulators(a: PairAccumulators, b: PairAccumulators) -> PairAccumulators:
@@ -128,7 +130,7 @@ def pair_accumulators_chunk(pi, vi, mi, ri, ii, pos, vel, mass, radius, jj, *,
     w = jnp.where(safe, mass[None, :] * (inv * inv * inv), 0.0)  # m_j / d_eff^3
     force = jnp.einsum("cn,cnd->cd", w, dp)
 
-    out = empty_accumulators(ii)._replace(force=force)
+    out = empty_accumulators(ii, dim=pi.shape[-1])._replace(force=force)
 
     if mode == "reference":
         heavier = mi[:, None] >= mass[None, :]         # nbody.cu:215 (>= : Q1)

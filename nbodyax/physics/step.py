@@ -48,6 +48,7 @@ class PhysicsParams:
     dt: float = 0.2
     field_width: float = 100000.0
     field_height: float = 100000.0
+    field_depth: float = 100000.0         # z half-extent (3-D extension)
     growth_rate: float = 0.1
     eps: float = 0.0                      # softening; 0 = reference (Q4)
     collision_mode: str = "reference"
@@ -59,6 +60,8 @@ class PhysicsParams:
         return cls(dt=float(jnp.float32(cfg.timestep)),
                    field_width=float(cfg.field_width),
                    field_height=float(cfg.field_height),
+                   field_depth=float(getattr(cfg, "field_depth", 0)
+                                    or cfg.field_width),
                    growth_rate=float(jnp.float32(cfg.growth_rate)),
                    eps=float(cfg.softening),
                    collision_mode=cfg.collision_mode,
@@ -136,11 +139,17 @@ def finish_leapfrog(pos2, new_pos, v_half, mass2, radius2, force2,
     return new_pos, new_vel, mass2, radius2
 
 
+def _field_vec(p: PhysicsParams, dim: int):
+    """Per-axis field half-extents; the z extent only exists in 3-D runs."""
+    return jnp.array([p.field_width, p.field_height,
+                      p.field_depth][:dim], jnp.float32)
+
+
 def _boundary_flip(pos, vel, radius, probe_disp, p: PhysicsParams):
     """Reflective boundary: flip velocity components where pos + probe_disp
     would exit the per-axis interval [-(field - r), field - r]
     (nbody.cu:256-261)."""
-    field = jnp.array([p.field_width, p.field_height], jnp.float32)
+    field = _field_vec(p, pos.shape[-1])
     limit = field[None, :] - radius[:, None]
     pred = pos + probe_disp
     out = (pred > limit) | (pred < -limit)
@@ -148,7 +157,7 @@ def _boundary_flip(pos, vel, radius, probe_disp, p: PhysicsParams):
 
 
 def _clamp_positions(pos, radius, p: PhysicsParams):
-    field = jnp.array([p.field_width, p.field_height], jnp.float32)
+    field = _field_vec(p, pos.shape[-1])
     limit = field[None, :] - radius[:, None]
     return jnp.clip(pos, -limit, limit)
 
@@ -190,7 +199,8 @@ def make_step(p: PhysicsParams,
 
 def make_split_step(p: PhysicsParams, n_splits: int,
                     tile_i: Optional[int] = None,
-                    tile_j: Optional[int] = None) -> Callable[[SimState], SimState]:
+                    tile_j: Optional[int] = None,
+                    dim: int = 2) -> Callable[[SimState], SimState]:
     """Huge-N single-chip step: the pair pass runs as ``n_splits`` separate
     device dispatches over i-ranges, then one dispatch commits the update.
 
@@ -218,7 +228,7 @@ def make_split_step(p: PhysicsParams, n_splits: int,
         return tile_accumulators_raw(fi_chunk, fjt, off, 0,
                                      mode=p.collision_mode, eps=p.eps,
                                      growth_rate=p.growth_rate,
-                                     tile_i=ti, tile_j=tj)
+                                     tile_i=ti, tile_j=tj, dim=dim)
 
     def split_accum(pos, vel, mass, radius):
         """n_splits bounded dispatches over i-ranges -> (raw, parent)."""
@@ -240,12 +250,14 @@ def make_split_step(p: PhysicsParams, n_splits: int,
 
     @jax.jit
     def commit_euler(state: SimState, raw, par) -> SimState:
-        acc = decode_raw(raw, par, 0, state.mass, p.collision_mode)
+        acc = decode_raw(raw, par, 0, state.mass, p.collision_mode,
+                         dim=dim)
         return apply_euler_update(state, acc, p)
 
     @jax.jit
     def begin_leapfrog(state: SimState, raw, par):
-        acc = decode_raw(raw, par, 0, state.mass, p.collision_mode)
+        acc = decode_raw(raw, par, 0, state.mass, p.collision_mode,
+                         dim=dim)
         pos2, vel2, mass2, radius2 = resolve_collisions(
             state.pos, state.vel, state.mass, state.radius, acc,
             mode=p.collision_mode)
@@ -255,7 +267,8 @@ def make_split_step(p: PhysicsParams, n_splits: int,
     @jax.jit
     def commit_leapfrog(step_count, pos2, new_pos, v_half, mass2, radius2,
                         raw2, par2) -> SimState:
-        acc2 = decode_raw(raw2, par2, 0, mass2, p.collision_mode)
+        acc2 = decode_raw(raw2, par2, 0, mass2, p.collision_mode,
+                          dim=dim)
         out = finish_leapfrog(pos2, new_pos, v_half, mass2, radius2,
                               acc2.force, p)
         return SimState(*out, step_count + 1)

@@ -118,7 +118,8 @@ def rasterize(pos, mass, radius, *, img_width: int, img_height: int,
 
 
 def render_state(state: SimState, cfg) -> jax.Array:
-    return rasterize(state.pos, state.mass, state.radius,
+    # 3-D runs render the xy projection (the rasterizer reads cols 0 and 1)
+    return rasterize(state.pos[:, :2], state.mass, state.radius,
                      img_width=cfg.img_width, img_height=cfg.img_height,
                      field_width=cfg.field_width, field_height=cfg.field_height,
                      patch=cfg.render_patch)

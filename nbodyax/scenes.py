@@ -24,34 +24,47 @@ __all__ = ["init_scene"]
 G = 6.67408e-11  # GRAV_CONSTANT, nbody.cu:37
 
 
+def _field_extents(cfg: SimConfig):
+    ext = [float(cfg.field_width), float(cfg.field_height)]
+    if cfg.dimensions == 3:
+        ext.append(float(cfg.field_depth or cfg.field_width))
+    return ext
+
+
 def uniform_scene(cfg: SimConfig, *, parity: bool = True) -> SimState:
     """Reference random scene: pos uniform over the field, vel 0, mass/radius
-    uniform over their ranges (nbody.cu:406-416)."""
+    uniform over their ranges (nbody.cu:406-416). Bit-exact parity with the
+    reference RNG exists only in 2-D (the reference is 2-D); 3-D scenes always
+    take the jax.random path."""
     n = cfg.particle_count
-    if parity:
+    if parity and cfg.dimensions == 2:
         pos, vel, mass, radius = scene_arrays(
             cfg.seed, n, cfg.field_width, cfg.field_height,
             cfg.min_body_mass, cfg.max_body_mass, cfg.min_radius, cfg.max_radius)
         return make_state(pos, vel, mass, radius)
     key = jax.random.PRNGKey(cfg.seed)
     kp, km, kr = jax.random.split(key, 3)
-    fw, fh = float(cfg.field_width), float(cfg.field_height)
-    pos = jax.random.uniform(kp, (n, 2), jnp.float32,
-                             minval=jnp.array([-fw, -fh]),
-                             maxval=jnp.array([fw, fh]))
+    ext = jnp.array(_field_extents(cfg))
+    d = cfg.dimensions
+    pos = jax.random.uniform(kp, (n, d), jnp.float32, minval=-ext, maxval=ext)
     mass = jax.random.uniform(km, (n,), jnp.float32,
                               minval=cfg.min_body_mass, maxval=cfg.max_body_mass)
     radius = jax.random.uniform(kr, (n,), jnp.float32,
                                 minval=cfg.min_radius, maxval=cfg.max_radius)
-    return make_state(pos, jnp.zeros((n, 2), jnp.float32), mass, radius)
+    return make_state(pos, jnp.zeros((n, d), jnp.float32), mass, radius)
 
 
 def three_body_scene(cfg: SimConfig) -> SimState:
-    """The reference's commented-out 3-body debug fixture (nbody.cu:418-429)."""
+    """The reference's commented-out 3-body debug fixture (nbody.cu:418-429).
+    Planar; in a dimensions=3 run it gets z=0 (and stays planar exactly)."""
     pos = np.array([[-500.0, 0.0], [500.0, 0.0], [-600.0, -150.0]], np.float32)
     vel = np.array([[10.0, 0.0], [-10.0, 0.0], [0.0, 0.0]], np.float32)
     mass = np.array([1e10, 1e14, 1e3], np.float32)
     radius = np.array([10.0, 20.0, 7.0], np.float32)
+    if cfg.dimensions == 3:
+        z = np.zeros((3, 1), np.float32)
+        pos = np.concatenate([pos, z], axis=1)
+        vel = np.concatenate([vel, z], axis=1)
     return make_state(pos, vel, mass, radius)
 
 
@@ -84,13 +97,21 @@ def galaxy_scene(cfg: SimConfig) -> SimState:
     r_scale = float(min(1.0, np.sqrt(0.01 / max(packing, 1e-30))))
 
     def disk(key, count, center, drift):
-        k1, k2, k3, k4 = jax.random.split(key, 4)
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
         # area-uniform radial distribution, small inner hole
         r = disk_r * jnp.sqrt(jax.random.uniform(k1, (count - 1,), minval=0.01))
         th = jax.random.uniform(k2, (count - 1,), maxval=2 * jnp.pi)
-        p = jnp.stack([r * jnp.cos(th), r * jnp.sin(th)], -1) + center
+        pcols = [r * jnp.cos(th), r * jnp.sin(th)]
         vc = jnp.sqrt(G * m_central / r)
-        v = jnp.stack([-vc * jnp.sin(th), vc * jnp.cos(th)], -1) + drift
+        vcols = [-vc * jnp.sin(th), vc * jnp.cos(th)]
+        if cfg.dimensions == 3:
+            # thin disk: ±2% of the disk radius of vertical scatter, vz = 0
+            pcols.append(jax.random.uniform(k5, (count - 1,),
+                                            minval=-0.02 * disk_r,
+                                            maxval=0.02 * disk_r))
+            vcols.append(jnp.zeros((count - 1,), jnp.float32))
+        p = jnp.stack(pcols, -1) + center
+        v = jnp.stack(vcols, -1) + drift
         m = jax.random.uniform(k3, (count - 1,), jnp.float32,
                                minval=cfg.min_body_mass,
                                maxval=0.01 * cfg.max_body_mass)
@@ -104,10 +125,11 @@ def galaxy_scene(cfg: SimConfig) -> SimState:
         return p, v, m, rad
 
     ka, kb = jax.random.split(key)
-    c1 = jnp.array([-sep / 2, 0.0], jnp.float32)
-    c2 = jnp.array([sep / 2, 0.0], jnp.float32)
-    d1 = jnp.array([approach_v, 0.0], jnp.float32)
-    d2 = jnp.array([-approach_v, 0.0], jnp.float32)
+    zpad = [0.0] * (cfg.dimensions - 2)
+    c1 = jnp.array([-sep / 2, 0.0] + zpad, jnp.float32)
+    c2 = jnp.array([sep / 2, 0.0] + zpad, jnp.float32)
+    d1 = jnp.array([approach_v, 0.0] + zpad, jnp.float32)
+    d2 = jnp.array([-approach_v, 0.0] + zpad, jnp.float32)
     p1, v1, m1, r1 = disk(ka, n1, c1, d1)
     p2, v2, m2, r2 = disk(kb, n2, c2, d2)
     return make_state(jnp.concatenate([p1, p2]).astype(jnp.float32),

@@ -55,12 +55,14 @@ def make_local_accum_fn(backend: str, p: PhysicsParams):
                                              tile_accumulators_raw)
 
         def accum(pi, vi, mi, ri, i_off, pj, vj, mj, rj, j_off):
+            dim = pi.shape[-1]
             fi = body_features(pi, vi, mi, ri)
             fj = body_features(pj, vj, mj, rj).T
             raw, par = tile_accumulators_raw(fi, fj, i_off, j_off,
                                              mode=p.collision_mode, eps=p.eps,
-                                             growth_rate=p.growth_rate)
-            return decode_raw(raw, par, i_off, mi, p.collision_mode)
+                                             growth_rate=p.growth_rate,
+                                             dim=dim)
+            return decode_raw(raw, par, i_off, mi, p.collision_mode, dim=dim)
         return accum
 
     def accum(pi, vi, mi, ri, i_off, pj, vj, mj, rj, j_off):
@@ -93,7 +95,8 @@ def ring_accumulators(pos, vel, mass, radius, *, n_shards: int,
     i_off = me * n_local
 
     acc = empty_accumulators(
-        i_off + lax.broadcasted_iota(jnp.int32, (n_local, 1), 0).squeeze(-1))
+        i_off + lax.broadcasted_iota(jnp.int32, (n_local, 1), 0).squeeze(-1),
+        dim=pos.shape[-1])
     # circulate (j data, j offset): each hop we receive from device me+1,
     # so after hop h we hold the tile of shard (me + h) mod P
     perm = [((s + 1) % n_shards, s) for s in range(n_shards)]

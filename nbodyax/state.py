@@ -24,8 +24,9 @@ __all__ = ["SimState", "make_state", "alive_mask", "alive_count"]
 class SimState(NamedTuple):
     """SoA body state. Leaves are device arrays; the tuple is a JAX pytree.
 
-    pos:    f32[N, 2]  positions (field coordinates, origin-centered)
-    vel:    f32[N, 2]  velocities
+    pos:    f32[N, D]  positions (field coordinates, origin-centered;
+                       D = 2 for reference scenes, 3 with dimensions=3)
+    vel:    f32[N, D]  velocities
     mass:   f32[N]     masses; 0 means the slot is dead (nbody.cu:245,489-494)
     radius: f32[N]     radii
     step:   i32[]      completed step count (for checkpoint/resume)

@@ -88,9 +88,11 @@ def dump_checkpoint(path: str, limit: int = 0, alive_only: bool = False,
             print(f"... ({mass.shape[0] - i} more slots)", file=out)
             break
         # same fields and precision as the reference's printData
+        coords = ", ".join(f"{c:.4f}" for c in pos[i])
+        vels = ", ".join(f"{c:.4f}" for c in vel[i])
         print(f"Body #{i}{'' if alive[i] else ' (dead)'}", file=out)
-        print(f"Position: ({pos[i, 0]:.4f}, {pos[i, 1]:.4f})", file=out)
-        print(f"Velocity: ({vel[i, 0]:.4f}, {vel[i, 1]:.4f})", file=out)
+        print(f"Position: ({coords})", file=out)
+        print(f"Velocity: ({vels})", file=out)
         print(f"Mass: {mass[i]:.4f}", file=out)
         print(f"Radius: {radius[i]:.4f}", file=out)
         print("--------------", file=out)
