@@ -14,7 +14,8 @@ import json
 import time
 
 
-def run(n: int, reps: int, mode: str, dims: int) -> float:
+def run(n: int, reps: int, mode: str, dims: int,
+        force_model: str = "exact") -> float:
     import jax
 
     from nbodyax.backends import build_accum_fn
@@ -23,9 +24,13 @@ def run(n: int, reps: int, mode: str, dims: int) -> float:
     from nbodyax.scenes import init_scene
 
     cfg = SimConfig(particle_count=n, collision_mode=mode, backend="auto",
-                    dimensions=dims)
+                    dimensions=dims, force_model=force_model,
+                    softening=50.0 if force_model == "bh" else 0.0)
+    if force_model == "bh":
+        from nbodyax.physics.barneshut import auto_levels
+        cfg.bh_levels = auto_levels(n, dim=dims)
     p = PhysicsParams.from_config(cfg)
-    step_inner = make_step(p, accum_fn=build_accum_fn(cfg.backend, p))
+    step_inner = make_step(p, accum_fn=build_accum_fn(cfg.backend, p, cfg))
 
     @jax.jit
     def step_probe(state):
@@ -49,15 +54,20 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=1_048_576)
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--mode", default="reference")
+    ap.add_argument("--force-model", default="exact", choices=["exact", "bh"])
     ap.add_argument("--also-2d", action="store_true",
                     help="measure the 2-D kernel too for the ratio")
     args = ap.parse_args()
-    out = {"n": args.n, "mode": args.mode,
-           "pairs_per_sec_3d": run(args.n, args.reps, args.mode, 3)}
+    out = {"n": args.n, "mode": args.mode, "force_model": args.force_model,
+           "pairs_per_sec_3d": run(args.n, args.reps, args.mode, 3,
+                                   args.force_model)}
     if args.also_2d:
-        out["pairs_per_sec_2d"] = run(args.n, args.reps, args.mode, 2)
+        out["pairs_per_sec_2d"] = run(args.n, args.reps, args.mode, 2,
+                                      args.force_model)
         out["ratio_3d_over_2d"] = (out["pairs_per_sec_3d"]
                                    / out["pairs_per_sec_2d"])
+    if args.force_model == "bh":
+        out["note"] = "equivalent pairs/s (bh does O(N*levels) work)"
     print(json.dumps(out))
     return 0
 

@@ -134,10 +134,6 @@ class SimConfig:
         if self.dimensions not in (2, 3):
             raise ConfigError(f"dimensions must be 2 or 3 "
                               f"(got {self.dimensions})")
-        if self.dimensions == 3 and self.force_model == "bh":
-            raise ConfigError(
-                "forceModel=bh is 2-D only (quadtree far field); use "
-                "forceModel=exact with dimensions=3")
         if self.collision_mode not in ("reference", "momentum", "elastic", "none"):
             raise ConfigError(f"unknown collisionMode {self.collision_mode!r}")
         if self.boundary_mode not in ("reference", "clamp", "none"):
@@ -159,8 +155,12 @@ class SimConfig:
         if self.force_model == "bh":
             if self.bh_ring not in (1, 2, 3):
                 raise ConfigError("bhRing must be 1, 2 or 3")
-            if self.bh_levels != 0 and not 2 <= self.bh_levels <= 12:
-                raise ConfigError("bhLevels must be 0 (auto) or in [2, 12]")
+            # 3-D caps at 7: the octree's finest dense grid holds 2^(3*lv)
+            # cells (2 M at 7; an order-2 grid stack is ~100 MB there)
+            max_lv = 7 if self.dimensions == 3 else 12
+            if self.bh_levels != 0 and not 2 <= self.bh_levels <= max_lv:
+                raise ConfigError(
+                    f"bhLevels must be 0 (auto) or in [2, {max_lv}]")
             if self.bh_neighbor_k < 1:
                 raise ConfigError("bhNeighborK must be >= 1")
             if self.bh_order not in (1, 2):

@@ -222,8 +222,10 @@ def test_config_3d_validation():
     assert p2.field_depth == p2.field_width
     with pytest.raises(ConfigError):
         SimConfig(dimensions=4).validate()
+    # 3-D octree caps the finest level at 7 (2^(3*7) = 2M cells)
     with pytest.raises(ConfigError):
-        SimConfig(dimensions=3, force_model="bh").validate()
+        SimConfig(dimensions=3, force_model="bh", bh_levels=9).validate()
+    SimConfig(dimensions=3, force_model="bh", bh_levels=6).validate()
 
 
 def test_scenes_3d_shapes():
@@ -239,6 +241,108 @@ def test_scenes_3d_shapes():
                                        scene="three_body"))
     assert t.pos.shape == (3, 3)
     np.testing.assert_array_equal(np.asarray(t.pos)[:, 2], 0.0)
+
+
+def rel_force_err(a, b):
+    fa, fb = np.asarray(a.force, np.float64), np.asarray(b.force, np.float64)
+    scale = np.linalg.norm(fb, axis=1)
+    denom = np.maximum(scale, np.percentile(scale, 50))
+    return (np.linalg.norm(fa - fb, axis=1) / denom).max()
+
+
+@pytest.mark.parametrize("ring,order,tol", [(1, 1, 0.08), (1, 2, 0.02),
+                                            (2, 2, 0.01)])
+def test_bh_3d_far_field_accuracy(ring, order, tol):
+    """Octree far field vs the exact oracle in 3-D (monopole and
+    quadrupole)."""
+    from nbodyax.physics.barneshut import bh_accumulators
+    rng = np.random.RandomState(11)
+    n = 2048
+    pos = rng.uniform(-5000, 5000, (n, 3)).astype(np.float32)
+    vel = np.zeros((n, 3), np.float32)
+    mass = rng.uniform(1, 100, n).astype(np.float32)
+    radius = rng.uniform(1, 8, n).astype(np.float32)
+    bh = bh_accumulators(pos, vel, mass, radius, eps=50.0, mode="none",
+                         ring=ring, levels=3, neighbor_k=256, order=order)
+    ex = pair_accumulators(pos, vel, mass, radius, eps=50.0, mode="none")
+    assert rel_force_err(bh, ex) < tol
+
+
+@pytest.mark.parametrize("mode", ["reference", "momentum", "elastic"])
+def test_bh_3d_collision_channels_match_exact(mode):
+    """3-D near field: with the whole neighborhood inside the window the
+    collision decisions are exact, as in 2-D."""
+    from nbodyax.physics.barneshut import bh_accumulators
+    rng = np.random.RandomState(13)
+    n = 1024
+    pos = rng.uniform(-2000, 2000, (n, 3)).astype(np.float32)
+    vel = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    mass = rng.uniform(1, 100, n).astype(np.float32)
+    radius = rng.uniform(20, 60, n).astype(np.float32)  # dense overlaps
+    # cell size 2*2000*1.0001/8 = 500 > 2*rmax: all overlaps in-window
+    bh = bh_accumulators(pos, vel, mass, radius, eps=10.0, growth_rate=0.1,
+                         mode=mode, levels=3, neighbor_k=256)
+    ex = pair_accumulators(pos, vel, mass, radius, eps=10.0, growth_rate=0.1,
+                           mode=mode)
+    if mode == "reference":
+        np.testing.assert_allclose(np.asarray(bh.gained_mass),
+                                   np.asarray(ex.gained_mass), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(bh.died), np.asarray(ex.died))
+    if mode == "momentum":
+        np.testing.assert_array_equal(np.asarray(bh.parent),
+                                      np.asarray(ex.parent))
+    if mode == "elastic":
+        da, de = np.asarray(bh.dv), np.asarray(ex.dv)
+        assert np.abs(da - de).max() / max(np.abs(de).max(), 1e-30) < 2e-5
+
+
+def test_bh_3d_step_trajectory_close_to_exact():
+    from functools import partial as _partial
+    from nbodyax.physics.barneshut import bh_accumulators
+    rng = np.random.RandomState(17)
+    n = 512
+    pos = rng.uniform(-2000, 2000, (n, 3)).astype(np.float32)
+    vel = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    mass = rng.uniform(1, 100, n).astype(np.float32)
+    radius = rng.uniform(1, 8, n).astype(np.float32)
+    st = make_state(pos, vel, mass, radius)
+    p = PhysicsParams(dt=0.2, field_width=2000, field_height=2000,
+                      field_depth=2000, eps=50.0)
+    exact = make_step(p)
+    bh = make_step(p, accum_fn=_partial(
+        bh_accumulators, eps=p.eps, growth_rate=p.growth_rate,
+        mode=p.collision_mode, ring=2, levels=3, neighbor_k=256))
+    a = b = st
+    for _ in range(10):
+        a, b = bh(a), exact(b)
+    np.testing.assert_array_equal(np.asarray(a.mass) > 0,
+                                  np.asarray(b.mass) > 0)
+    assert np.abs(np.asarray(a.pos) - np.asarray(b.pos)).max() / 4000.0 < 0.01
+
+
+def test_bh_3d_sharded_matches_single():
+    from nbodyax.sharding.bh import make_sharded_bh_step
+    from nbodyax.sharding.mesh import make_mesh, shard_state
+    from nbodyax.backends import build_accum_fn
+
+    n = 256
+    rng = np.random.RandomState(19)
+    pos = rng.uniform(-1000, 1000, (n, 3)).astype(np.float32)
+    vel = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    mass = rng.uniform(1, 100, n).astype(np.float32)
+    radius = rng.uniform(1, 10, n).astype(np.float32)
+    st = make_state(pos, vel, mass, radius)
+    cfg = SimConfig(particle_count=n, shards=8, dimensions=3,
+                    field_width=1000, field_height=1000, force_model="bh",
+                    softening=20.0, bh_levels=3, bh_neighbor_k=128)
+    p = PhysicsParams.from_config(cfg)
+    dense = make_step(p, accum_fn=build_accum_fn("jnp", p, cfg))(st)
+    mesh = make_mesh(8)
+    sh = make_sharded_bh_step(cfg, p, mesh=mesh)(shard_state(st, mesh))
+    np.testing.assert_allclose(np.asarray(sh.pos), np.asarray(dense.pos),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(sh.mass) > 0,
+                                  np.asarray(dense.mass) > 0)
 
 
 def test_driver_3d_end_to_end(tmp_path):
