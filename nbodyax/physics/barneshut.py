@@ -211,6 +211,73 @@ def _level_grids(pos, mass, ext, levels, order=1):
 _DENSE_FAR_CELLS = {2: 256, 3: 512}  # levels up to this many cells skip gathers
 
 
+def _far_window_force(pxs, ws, use, cellrow, ext, g, eps2, order):
+    """Monopole(+quadrupole) force of one level's interaction-list window.
+
+    Broadcast-generic: ``pxs`` are per-axis body coordinates, ``ws`` per-axis
+    window cell indices, ``use`` the membership mask, ``cellrow`` the cell
+    aggregates with a trailing channel axis — any mutually-broadcastable
+    leading shapes (the per-body pass uses [C,1] x [C,W]; the per-cell pass
+    uses [Cc,ci,1] x [Cc,1,W], which XLA fuses without materializing the
+    [Cc,ci,W] expansion). Returns per-axis force arrays; the caller reduces
+    over the window axis.
+
+    order=1: cell mass at its COM. order=2 adds the quadrupole term — the
+    second-order Taylor expansion of u/|u|^3 about the COM (the first-order
+    term vanishes there): with d = COM - p, r = |d|, central moments Q,
+        F_quad = 1/2 [ -3 r^-5 (2 Q d + d tr Q) + 15 r^-7 (d^T Q d) d ].
+    """
+    dim = len(pxs)
+    pairs = _moment_pairs(dim)
+    M = jnp.where(use, cellrow[..., 0], 0.0)
+    has = M > 0
+    Minv = 1.0 / jnp.where(has, M, 1.0)
+    if order >= 2:
+        # moments are about the cell center (see _level_grids)
+        mins, csz = _cell_sizes(ext, g)
+        com = [mins[d] + (ws[d].astype(jnp.float32) + 0.5) * csz[d]
+               + cellrow[..., 1 + d] * Minv for d in range(dim)]
+    else:
+        com = [cellrow[..., 1 + d] * Minv for d in range(dim)]
+    dv = [jnp.where(has, com[d] - pxs[d], 0.0) for d in range(dim)]
+    d2 = dv[0] * dv[0]
+    for c2 in dv[1:]:
+        d2 = d2 + c2 * c2
+    d2 = d2 + eps2
+    inv = lax.rsqrt(jnp.where(has, d2, 1.0))
+    inv2 = inv * inv
+    inv3 = inv2 * inv
+    wgt = jnp.where(has, M * inv3, 0.0)
+    f = [wgt * dv[d] for d in range(dim)]
+    if order >= 2:
+        # central (about-COM) moments from about-center moments:
+        # Q = S2 - (S1/M) S1^T. Mask the channels FIRST (excluded
+        # cells keep Minv=1, and S1*S1 there reaches ~1e45 -> inf,
+        # which no later 0-multiply can cancel: inf*0 = NaN). Divide
+        # before squaring for the same overflow reason.
+        s1 = [jnp.where(use, cellrow[..., 1 + d], 0.0)
+              for d in range(dim)]
+        rb = [s1[d] * Minv for d in range(dim)]
+        q = {}
+        for k, (a, b) in enumerate(pairs):
+            q[a, b] = (jnp.where(use, cellrow[..., 1 + dim + k], 0.0)
+                       - rb[a] * s1[b])
+            q[b, a] = q[a, b]
+        inv5 = inv3 * inv2
+        # scale by inv5 BEFORE contracting with d: raw d^T Q d can
+        # reach ~5e39 (Q ~ M cell^2 ~ 5e29, |d|^2 ~ 1e10) and
+        # overflows f32
+        u = [sum(q[a, b] * dv[b] for b in range(dim)) * inv5
+             for a in range(dim)]               # (Q d) r^-5
+        trq5 = sum(q[a, a] for a in range(dim)) * inv5
+        dqd7 = sum(dv[a] * u[a] for a in range(dim)) * inv2
+        coef = jnp.where(has, 1.0, 0.0)
+        f = [f[a] + coef * (-1.5 * (2.0 * u[a] + dv[a] * trq5)
+                            + 7.5 * dqd7 * dv[a])
+             for a in range(dim)]
+    return f
+
+
 def _far_force(i_pos, pos, mass, ext, levels, ring, eps2, chunk, order=1):
     """Far-field force for the i bodies (any subset), with grids aggregated
     from the full (pos, mass) partner set. Dimension-generic (2-D quadtree /
@@ -236,7 +303,6 @@ def _far_force(i_pos, pos, mass, ext, levels, ring, eps2, chunk, order=1):
     win = 4 * ring + 2
     offs = [lax.broadcasted_iota(jnp.int32, (win,) * dim, d).reshape(-1)
             for d in range(dim)]
-    pairs = _moment_pairs(dim)
     dense_cells = _DENSE_FAR_CELLS[dim]
 
     nchunks = -(-n // chunk)
@@ -279,55 +345,10 @@ def _far_force(i_pos, pos, mass, ext, levels, ring, eps2, chunk, order=1):
                 use = inb & ~near
                 flat = jnp.clip(_flatten_cells(ws, g), 0, ncells - 1)
                 cellrow = packed[l][flat]               # [C, win^dim, ch]
-            M = jnp.where(use, cellrow[..., 0], 0.0)
-            has = M > 0
-            Minv = 1.0 / jnp.where(has, M, 1.0)
-            if order >= 2:
-                # moments are about the cell center (see _level_grids)
-                mins, csz = _cell_sizes(ext, g)
-                com = [mins[d] + (ws[d].astype(jnp.float32) + 0.5) * csz[d]
-                       + cellrow[..., 1 + d] * Minv for d in range(dim)]
-            else:
-                com = [cellrow[..., 1 + d] * Minv for d in range(dim)]
-            dv = [jnp.where(has, com[d] - pc[:, d:d + 1], 0.0)
-                  for d in range(dim)]
-            d2 = dv[0] * dv[0]
-            for c2 in dv[1:]:
-                d2 = d2 + c2 * c2
-            d2 = d2 + eps2
-            inv = lax.rsqrt(jnp.where(has, d2, 1.0))
-            inv2 = inv * inv
-            inv3 = inv2 * inv
-            wgt = jnp.where(has, M * inv3, 0.0)
-            f = [wgt * dv[d] for d in range(dim)]
-            if order >= 2:
-                # central (about-COM) moments from about-center moments:
-                # Q = S2 - (S1/M) S1^T. Mask the channels FIRST (excluded
-                # cells keep Minv=1, and S1*S1 there reaches ~1e45 -> inf,
-                # which no later 0-multiply can cancel: inf*0 = NaN). Divide
-                # before squaring for the same overflow reason.
-                s1 = [jnp.where(use, cellrow[..., 1 + d], 0.0)
-                      for d in range(dim)]
-                rb = [s1[d] * Minv for d in range(dim)]
-                q = {}
-                for k, (a, b) in enumerate(pairs):
-                    q[a, b] = (jnp.where(use, cellrow[..., 1 + dim + k], 0.0)
-                               - rb[a] * s1[b])
-                    q[b, a] = q[a, b]
-                inv5 = inv3 * inv2
-                # scale by inv5 BEFORE contracting with d: raw d^T Q d can
-                # reach ~5e39 (Q ~ M cell^2 ~ 5e29, |d|^2 ~ 1e10) and
-                # overflows f32
-                u = [sum(q[a, b] * dv[b] for b in range(dim)) * inv5
-                     for a in range(dim)]               # (Q d) r^-5
-                trq5 = sum(q[a, a] for a in range(dim)) * inv5
-                dqd7 = sum(dv[a] * u[a] for a in range(dim)) * inv2
-                coef = jnp.where(has, 1.0, 0.0)
-                f = [f[a] + coef * (-1.5 * (2.0 * u[a] + dv[a] * trq5)
-                                    + 7.5 * dqd7 * dv[a])
-                     for a in range(dim)]
-            force = force + jnp.stack([jnp.sum(fa, axis=1) for fa in f],
-                                      axis=1)
+            f = _far_window_force([pc[:, d:d + 1] for d in range(dim)],
+                                  ws, use, cellrow, ext, g, eps2, order)
+            force = force + jnp.stack([jnp.sum(fa, axis=-1) for fa in f],
+                                      axis=-1)
         return force
 
     if nchunks == 1:
@@ -414,9 +435,46 @@ def _gathered_pair_accum(pi, vi, mi, ri, ii, pj, vj, mj, rj, jj, *,
     return out
 
 
+def _partner_structure(pos, vel, mass, radius, ext, g, need_vel):
+    """Cell-sorted partner structure shared by the near-field passes.
+
+    Returns (order, s_cell, starts, ends, sf):
+    - ``order``: sorted-position -> global body index (dead bodies in a
+      trailing out-of-grid bucket);
+    - ``s_cell``: flat cell id per sorted position;
+    - ``starts``/``ends``: per-cell [start, end) ranges into sorted order;
+    - ``sf``: one packed f32 feature row per sorted partner. One wide gather
+      per neighbor window instead of six narrow ones (TPU gathers are the
+      bottleneck — measured ~7 ns per gathered row on v5e, so row BYTES are
+      the cost). The global id rides two f32 lanes (12-bit lo, upper bits
+      hi, each exactly representable), so ids are exact at any i32-indexable
+      N. Only elastic mode packs partner velocities — 25% less gather
+      traffic in 2-D for the other modes (dim+4 vs 2*dim+4 lanes). One zero
+      row of tail padding: masked window rows gather pad row n — inert
+      (mass 0) for every channel, so no post-gather select is needed.
+    """
+    dim = pos.shape[-1]
+    ncells = g ** dim
+    alive = mass > 0
+    cell = jnp.where(alive, _flatten_cells(_cells(pos, ext, g), g),
+                     ncells)                           # dead -> bucket
+    order = jnp.argsort(cell).astype(jnp.int32)        # sorted -> global index
+    s_cell = cell[order]
+    cells_iota = jnp.arange(ncells, dtype=s_cell.dtype)
+    starts = jnp.searchsorted(s_cell, cells_iota).astype(jnp.int32)
+    ends = jnp.searchsorted(s_cell, cells_iota, side="right").astype(jnp.int32)
+    id_hi, id_lo = _pack_id(order)
+    lanes = [pos[order, d] for d in range(dim)]
+    if need_vel:
+        lanes += [vel[order, d] for d in range(dim)]
+    lanes += [mass[order], radius[order], id_hi, id_lo]
+    sf = jnp.pad(jnp.stack(lanes, axis=1), ((0, 1), (0, 0)))
+    return order, s_cell, starts, ends, sf
+
+
 def _near_field(i_pos, i_vel, i_mass, i_radius, i_ids,
                 pos, vel, mass, radius, ext, levels, ring, eps2,
-                growth_rate, mode, k, chunk):
+                growth_rate, mode, k, chunk, _structure=None):
     """Exact accumulators of i bodies against their (2*ring+1)^dim finest-cell
     neighbors among the (global) partner set.
 
@@ -439,32 +497,11 @@ def _near_field(i_pos, i_vel, i_mass, i_radius, i_ids,
     n_i = i_pos.shape[0]
     n = pos.shape[0]
     g = 1 << levels
-    ncells = g ** dim
-    cs = _cells(pos, ext, g)
-    alive = mass > 0
-    cell = jnp.where(alive, _flatten_cells(cs, g), ncells)  # dead -> bucket
-    order = jnp.argsort(cell).astype(jnp.int32)        # sorted -> global index
-    s_cell = cell[order]
-    cells_iota = jnp.arange(ncells, dtype=s_cell.dtype)
-    starts = jnp.searchsorted(s_cell, cells_iota).astype(jnp.int32)
-    ends = jnp.searchsorted(s_cell, cells_iota, side="right").astype(jnp.int32)
-
-    # single packed feature row per partner: one wide gather per neighbor
-    # window instead of six narrow ones (TPU gathers are the bottleneck —
-    # measured ~7 ns per gathered row on v5e, so row BYTES are the cost).
-    # The global id rides two f32 lanes (12-bit lo, upper bits hi, each
-    # exactly representable), so ids are exact at any i32-indexable N.
-    # Only elastic mode reads partner velocities; the other modes skip them —
-    # 25% less near-field gather traffic in 2-D (dim+4 vs 2*dim+4 lanes).
-    id_hi, id_lo = _pack_id(order)
     need_vel = mode == "elastic"
-    lanes = [pos[order, d] for d in range(dim)]
-    if need_vel:
-        lanes += [vel[order, d] for d in range(dim)]
-    lanes += [mass[order], radius[order], id_hi, id_lo]
-    # one zero row of tail padding: masked window rows gather pad row n —
-    # inert (mass 0) for every channel, so no post-gather select is needed
-    sf = jnp.pad(jnp.stack(lanes, axis=1), ((0, 1), (0, 0)))
+    if _structure is None:
+        _structure = _partner_structure(pos, vel, mass, radius, ext, g,
+                                        need_vel)
+    order, s_cell, starts, ends, sf = _structure
 
     nchunks = -(-n_i // chunk)
     npad = nchunks * chunk
@@ -532,26 +569,286 @@ def _near_field(i_pos, i_vel, i_mass, i_radius, i_ids,
     return jax.tree.map(lambda x: x.reshape((npad,) + x.shape[2:])[:n_i], acc)
 
 
+_CI_CAP = 32  # per-cell i slots in the fast near pass (2x target occupancy)
+
+
+def _completion_cap(n: int) -> int:
+    """Static budget of crowded-cell bodies finished by the per-body pass."""
+    return min(n, max(1024, n // 16))
+
+
+def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
+                      growth_rate, mode, k, ci_cap: int = _CI_CAP,
+                      chunk: int = 8192, _structure=None) -> PairAccumulators:
+    """Near field for the FULL body set (i side == partner set): per-CELL
+    window gathers.
+
+    All bodies in one finest cell share identical neighbor-row windows, so
+    the (2*ring+1)^(dim-1) row gathers happen once per CELL instead of once
+    per body — ~occupancy x fewer gathered rows. Gathered rows are the
+    measured bottleneck of this model (v5e, N=1M, K=64: the per-body near
+    pass was 0.88 s of the 1.37 s accumulator pass at ~7 ns/row), so sharing
+    them turns the near field from the dominant cost into noise. The pair
+    math itself is identical (_gathered_pair_accum) — the j window is
+    broadcast across the cell's i slots, which XLA materializes as cheap
+    HBM-bandwidth copies, not gathers.
+
+    Each cell's first ``ci_cap`` sorted bodies ride the per-cell pass; the
+    rest (only cells beyond 2x the target occupancy have any) are finished
+    EXACTLY by the per-body pass (_near_field) over up to _completion_cap(n)
+    such bodies, reusing the same sorted structure. Only past that ~10x
+    headroom budget do bodies lose their near field — ``overflow_count``
+    reports them alongside the K row-cap overflow.
+    """
+    dim = pos.shape[-1]
+    n = pos.shape[0]
+    g = 1 << levels
+    ncells = g ** dim
+    need_vel = mode == "elastic"
+    structure = (_structure if _structure is not None else
+                 _partner_structure(pos, vel, mass, radius, ext, g, need_vel))
+    order, s_cell, starts, ends, sf = structure
+    rest = 2 * dim if need_vel else dim
+    import itertools
+
+    cell_chunk = max(1, min(ncells, (2 * chunk) // ci_cap))
+    cell_chunk = 1 << (cell_chunk.bit_length() - 1)   # power of 2 ...
+    nchunks = ncells // cell_chunk          # ... so it divides ncells
+    ks = lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    slots_i = lax.broadcasted_iota(jnp.int32, (1, ci_cap), 1)
+    B = cell_chunk * ci_cap
+
+    def one_chunk(c):
+        cid = (c * cell_chunk
+               + lax.broadcasted_iota(jnp.int32, (cell_chunk, 1),
+                                      0).squeeze(-1))
+        coords = []
+        rem = cid
+        for _ in range(dim):                # x fastest
+            coords.append(rem % g)
+            rem = rem // g
+        st_c = starts[cid]
+        # i slots: the first ci_cap sorted bodies of each cell
+        isl = st_c[:, None] + slots_i                       # [Cc, ci]
+        i_ok = isl < jnp.minimum(ends[cid], st_c + ci_cap)[:, None]
+        fi = sf[jnp.where(i_ok, isl, n)].reshape(B, -1)     # [B, L]
+        pi = fi[:, 0:dim]
+        vi = fi[:, dim:2 * dim] if need_vel else jnp.zeros_like(pi)
+        mi, ri = fi[:, rest], fi[:, rest + 1]
+        ii = _unpack_id(fi[:, rest + 2], fi[:, rest + 3])
+        sidx = jnp.where(i_ok.reshape(B), ii, n)            # scatter target
+        acc = empty_accumulators(ii, dim=dim)
+        left = jnp.maximum(coords[0] - ring, 0)
+        right = jnp.minimum(coords[0] + ring, g - 1)
+        for off in itertools.product(range(-ring, ring + 1), repeat=dim - 1):
+            nds = [coords[1 + a] + off[a] for a in range(dim - 1)]
+            ok_row = jnp.bool_(True)
+            for nd in nds:
+                ok_row = ok_row & (nd >= 0) & (nd < g)
+            ndc = tuple(jnp.clip(nd, 0, g - 1) for nd in nds)
+            st = starts[_flatten_cells((left,) + ndc, g)]
+            cnt = jnp.minimum(ends[_flatten_cells((right,) + ndc, g)] - st, k)
+            ok = ok_row[:, None] & (ks < cnt[:, None])      # [Cc, k]
+            fj = sf[jnp.where(ok, st[:, None] + ks, n)]     # [Cc, k, L]
+            # expand the per-cell window across the cell's i slots
+            fjE = jnp.broadcast_to(
+                fj[:, None], (cell_chunk, ci_cap) + fj.shape[1:]
+            ).reshape(B, k, -1)
+            okE = jnp.broadcast_to(
+                ok[:, None], (cell_chunk, ci_cap, k)).reshape(B, k)
+            pj = fjE[..., 0:dim]
+            vj = fjE[..., dim:2 * dim] if need_vel else jnp.zeros_like(pj)
+            mj, rj = fjE[..., rest], fjE[..., rest + 1]
+            jj = jnp.where(okE, _unpack_id(fjE[..., rest + 2],
+                                           fjE[..., rest + 3]), -1)
+            acc = combine_accumulators(acc, _gathered_pair_accum(
+                pi, vi, mi, ri, ii, pj, vj, mj, rj, jj,
+                eps2=eps2, growth_rate=growth_rate, mode=mode))
+        return acc, sidx
+
+    if nchunks == 1:
+        acc, sidx = one_chunk(jnp.int32(0))
+        acc = jax.tree.map(lambda x: x[None], acc)
+        sidx = sidx[None]
+    else:
+        acc, sidx = lax.map(one_chunk, jnp.arange(nchunks))
+    flat = lambda x: x.reshape((nchunks * B,) + x.shape[2:])
+    acc = jax.tree.map(flat, acc)
+    sidx = flat(sidx)
+
+    # scatter per-slot results into body order; untouched rows keep the
+    # identity accumulators (dead bodies, and slot n collects the invalid)
+    base = empty_accumulators(jnp.arange(n + 1, dtype=jnp.int32), dim=dim)
+    out = PairAccumulators(*[b.at[sidx].set(s)
+                             for b, s in zip(base, acc)])
+
+    # completion: bodies past their cell's ci_cap slots get the exact
+    # per-body treatment (identical window semantics), bounded by m_cap
+    srank = (jnp.arange(n, dtype=jnp.int32)
+             - starts[jnp.clip(s_cell, 0, ncells - 1)])
+    over = (srank >= ci_cap) & (s_cell < ncells)
+    m_cap = _completion_cap(n)
+    ps = jnp.nonzero(over, size=m_cap, fill_value=n)[0].astype(jnp.int32)
+    gi = order[jnp.clip(ps, 0, n - 1)]      # fills -> a real body, dropped
+    osidx = jnp.where(ps < n, gi, n)        # ... by scattering to row n
+    oacc = _near_field(pos[gi], vel[gi], mass[gi], radius[gi], gi,
+                       pos, vel, mass, radius, ext, levels, ring, eps2,
+                       growth_rate, mode, k, min(m_cap, chunk),
+                       _structure=structure)
+    out = PairAccumulators(*[o.at[osidx].set(s)
+                             for o, s in zip(out, oacc)])
+    return jax.tree.map(lambda x: x[:n], out)
+
+
+def _far_force_cells(pos, mass, ext, levels, ring, eps2, order, structure,
+                     ci_cap: int = _CI_CAP, chunk: int = 8192):
+    """Far field for the FULL body set via per-CELL window gathers.
+
+    Bodies sharing a finest cell share their level-l cell at EVERY coarser
+    level, hence every interaction-list window — so, like the near field,
+    the per-level window gathers happen once per finest CELL instead of once
+    per body (~occupancy x fewer gathered rows; the per-body far pass
+    measured 0.52 s of the N=1M step, ~all gathers). The expansion math runs
+    per (slot, window-cell) as a broadcast the compiler fuses — no
+    materialized [slots, window] blowup.
+
+    Same slot/completion scheme as _near_field_cells: each cell's first
+    ``ci_cap`` sorted bodies ride this pass; the (rare, bounded) rest go
+    through the per-body _far_force in the caller. Returns
+    (force[ncells*ci_cap, dim], scatter_idx[ncells*ci_cap]) in slot order;
+    invalid slots point at scatter row n.
+    """
+    import itertools  # noqa: F401  (parallel structure with the near pass)
+
+    dim = pos.shape[-1]
+    n = pos.shape[0]
+    g_f = 1 << levels
+    ncells = g_f ** dim
+    order_idx, s_cell, starts, ends, sf = structure
+    grids = _level_grids(pos, mass, ext, levels, order)
+    packed = {l: jnp.stack(grids[l], axis=1) for l in grids}
+    win = 4 * ring + 2
+    offs = [lax.broadcasted_iota(jnp.int32, (win,) * dim, d).reshape(-1)
+            for d in range(dim)]
+    dense_cells = _DENSE_FAR_CELLS[dim]
+
+    cell_chunk = max(1, min(ncells, (2 * chunk) // ci_cap))
+    cell_chunk = 1 << (cell_chunk.bit_length() - 1)
+    nchunks = ncells // cell_chunk
+    slots_i = lax.broadcasted_iota(jnp.int32, (1, ci_cap), 1)
+    B = cell_chunk * ci_cap
+
+    def one_chunk(c):
+        cid = (c * cell_chunk
+               + lax.broadcasted_iota(jnp.int32, (cell_chunk, 1),
+                                      0).squeeze(-1))
+        fcoords = []
+        rem = cid
+        for _ in range(dim):                # x fastest
+            fcoords.append(rem % g_f)
+            rem = rem // g_f
+        st_c = starts[cid]
+        isl = st_c[:, None] + slots_i                       # [Cc, ci]
+        i_ok = isl < jnp.minimum(ends[cid], st_c + ci_cap)[:, None]
+        fi = sf[jnp.where(i_ok, isl, n)]                    # [Cc, ci, L]
+        # slot positions [Cc, ci, 1] per axis; window arrays get a slot axis
+        pxs = [fi[..., d:d + 1] for d in range(dim)]
+        ii = _unpack_id(fi[..., -2], fi[..., -1])
+        sidx = jnp.where(i_ok, ii, n).reshape(B)
+        force = jnp.zeros((cell_chunk, ci_cap, dim), jnp.float32)
+        for l in range(2, levels + 1):
+            g = 1 << l
+            cs = [fc >> (levels - l) for fc in fcoords]     # dim x [Cc]
+            ncl = g ** dim
+            if ncl <= dense_cells:
+                cells = lax.broadcasted_iota(jnp.int32, (1, ncl), 1)
+                ws, rem2 = [], cells
+                for _ in range(dim):
+                    ws.append(rem2 % g)
+                    rem2 = rem2 // g
+                near = jnp.bool_(True)
+                parent_ok = jnp.bool_(True)
+                for d in range(dim):
+                    cd = cs[d][:, None]
+                    near = near & (jnp.abs(ws[d] - cd) <= ring)
+                    parent_ok = parent_ok & \
+                        (jnp.abs((ws[d] >> 1) - (cd >> 1)) <= ring)
+                use = parent_ok & ~near                     # [Cc, ncl]
+                cellrow = packed[l][None, :, :]             # [1, ncl, ch]
+            else:
+                ws = [(((cs[d] >> 1) - ring) << 1)[:, None] + offs[d][None, :]
+                      for d in range(dim)]                  # [Cc, win^dim]
+                near = jnp.bool_(True)
+                inb = jnp.bool_(True)
+                for d in range(dim):
+                    near = near & (jnp.abs(ws[d] - cs[d][:, None]) <= ring)
+                    inb = inb & (ws[d] >= 0) & (ws[d] < g)
+                use = inb & ~near
+                flat = jnp.clip(_flatten_cells(ws, g), 0, ncl - 1)
+                cellrow = packed[l][flat]                   # [Cc, win^dim, ch]
+            # insert the slot axis: [Cc, 1, W(, ch)] against pxs [Cc, ci, 1]
+            f = _far_window_force(pxs, [w[:, None] for w in ws],
+                                  use[:, None], cellrow[:, None],
+                                  ext, g, eps2, order)
+            force = force + jnp.stack([jnp.sum(fa, axis=-1) for fa in f],
+                                      axis=-1)
+        return force.reshape(B, dim), sidx
+
+    if nchunks == 1:
+        force, sidx = one_chunk(jnp.int32(0))
+        force, sidx = force[None], sidx[None]
+    else:
+        force, sidx = lax.map(one_chunk, jnp.arange(nchunks))
+    return (force.reshape(nchunks * B, dim),
+            sidx.reshape(nchunks * B))
+
+
 def bh_accumulators(pos, vel, mass, radius, *, eps: float = 0.0,
                     growth_rate: float = 0.1, mode: str = "reference",
                     levels: int = 0, ring: int = 1, neighbor_k: int = 64,
                     order: int = 2, chunk: int = 8192) -> PairAccumulators:
     """Drop-in accum_fn (same interface as pair_accumulators): approximate
-    far-field force + exact near-field force/collision accumulators."""
+    far-field force + exact near-field force/collision accumulators.
+
+    Both fields run as per-CELL passes (shared window gathers, the measured
+    bottleneck) over each cell's first _CI_CAP sorted bodies, with a shared
+    per-body completion pass for the (rare, _completion_cap-bounded) bodies
+    beyond that."""
     n = pos.shape[0]
-    levels = levels or auto_levels(n, dim=pos.shape[-1])
+    dim = pos.shape[-1]
+    levels = levels or auto_levels(n, dim=dim)
     eps2 = jnp.float32(eps) ** 2
     alive = mass > 0
     ext = _extent(pos, alive)
+    g = 1 << levels
+    ncells = g ** dim
+    structure = _partner_structure(pos, vel, mass, radius, ext, g,
+                                   mode == "elastic")
+    order_idx, s_cell, starts, _, _ = structure
+    c = min(chunk, n)
+
+    near = _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
+                             jnp.float32(growth_rate), mode, neighbor_k,
+                             chunk=c, _structure=structure)
+
+    # far field: fast per-cell pass + per-body completion over the same
+    # crowded-cell overflow set the near pass finishes
+    fslots, fsidx = _far_force_cells(pos, mass, ext, levels, ring, eps2,
+                                     order, structure, chunk=c)
+    far = jnp.zeros((n + 1, dim), jnp.float32).at[fsidx].set(fslots)
+    srank = (jnp.arange(n, dtype=jnp.int32)
+             - starts[jnp.clip(s_cell, 0, ncells - 1)])
+    over = (srank >= _CI_CAP) & (s_cell < ncells)
+    m_cap = _completion_cap(n)
+    ps = jnp.nonzero(over, size=m_cap, fill_value=n)[0].astype(jnp.int32)
+    gi = order_idx[jnp.clip(ps, 0, n - 1)]
+    osidx = jnp.where(ps < n, gi, n)
+    far_over = _far_force(pos[gi], pos, mass, ext, levels, ring, eps2,
+                          min(m_cap, c), order)
+    far = far.at[osidx].set(far_over)[:n]
 
     ids = jnp.arange(n, dtype=jnp.int32)
-    near = _near_field(pos, vel, mass, radius, ids,
-                       pos, vel, mass, radius, ext, levels, ring, eps2,
-                       jnp.float32(growth_rate), mode, neighbor_k,
-                       min(chunk, n))
-    far = _far_force(pos, pos, mass, ext, levels, ring, eps2, min(chunk, n),
-                     order)
-    far_acc = empty_accumulators(ids, dim=pos.shape[-1])._replace(
+    far_acc = empty_accumulators(ids, dim=dim)._replace(
         force=jnp.where(alive[:, None], far, 0.0))
     return combine_accumulators(near, far_acc)
 
@@ -583,12 +880,19 @@ def bh_local_accumulators(i_pos, i_vel, i_mass, i_radius, i_ids,
 
 def overflow_count(pos, mass, *, levels: int = 0, neighbor_k: int = 64,
                    ring: int = 1):
-    """Diagnostic: how many live bodies exceed their window-row's K
-    near-field slots (those are invisible to near-field physics for the
-    bodies whose window that row is). The near field gathers one window per
-    row of (2*ring+1) consecutive cells, capped at ``neighbor_k`` partners;
-    this counts the total excess over all such rows. 0 means the near field
-    is exact for the current distribution."""
+    """Diagnostic: how many live bodies are invisible to some part of the
+    near field. Two terms:
+
+    1. window-row K overflow: bodies beyond their row's ``neighbor_k``
+       partner slots (invisible AS PARTNERS to bodies whose window that row
+       is). The near field gathers one window per row of (2*ring+1)
+       consecutive cells, capped at ``neighbor_k``; this counts the total
+       excess over all such rows.
+    2. completion-budget overflow: bodies beyond both their cell's _CI_CAP
+       fast-pass slots and the _completion_cap(n) per-body completion budget
+       (those get NO near field — and no far field — of their own).
+
+    0 means the near field is exact for the current distribution."""
     n = pos.shape[0]
     dim = pos.shape[-1]
     levels = levels or auto_levels(n, dim=dim)
@@ -602,4 +906,7 @@ def overflow_count(pos, mass, *, levels: int = 0, neighbor_k: int = 64,
     # consecutive cells, zero outside the grid (matches the clamped windows)
     occp = jnp.pad(occg, [(0, 0)] * (dim - 1) + [(ring, ring)])
     row = sum(occp[..., d:d + g] for d in range(2 * ring + 1))
-    return jnp.sum(jnp.maximum(row - neighbor_k, 0))
+    row_over = jnp.sum(jnp.maximum(row - neighbor_k, 0))
+    i_over = jnp.sum(jnp.maximum(occ[:-1] - _CI_CAP, 0))
+    dropped = jnp.maximum(i_over - _completion_cap(n), 0)
+    return row_over + dropped

@@ -190,6 +190,52 @@ def test_bh_momentum_drift_bounded_long_run():
     assert drift <= 3e-3 * gross_impulse, (drift, gross_impulse)
 
 
+@pytest.mark.parametrize("mode", ["reference", "momentum", "elastic"])
+def test_percell_near_matches_perbody(mode):
+    """The per-cell fast near pass (shared window gathers) must reproduce the
+    per-body pass exactly — same windows, same K cap, same pair math."""
+    import jax.numpy as jnp
+    from nbodyax.physics.barneshut import (_extent, _near_field,
+                                           _near_field_cells)
+
+    pos, vel, mass, radius = random_state(1024, seed=21, field=2000.0,
+                                          rmax=15.0)
+    levels, ring, k = 4, 1, 32
+    ext = _extent(jnp.asarray(pos), jnp.asarray(mass) > 0)
+    ids = jnp.arange(1024, dtype=jnp.int32)
+    args = (ext, levels, ring, jnp.float32(100.0), jnp.float32(0.1), mode, k)
+    a = _near_field_cells(pos, vel, mass, radius, *args)
+    b = _near_field(pos, vel, mass, radius, ids,
+                    pos, vel, mass, radius, *args, 1024)
+    for name in ("force", "gained_mass", "gained_radius", "dv"):
+        np.testing.assert_allclose(np.asarray(getattr(a, name)),
+                                   np.asarray(getattr(b, name)),
+                                   rtol=1e-6, atol=1e-7, err_msg=name)
+    np.testing.assert_array_equal(np.asarray(a.died), np.asarray(b.died))
+    np.testing.assert_array_equal(np.asarray(a.parent), np.asarray(b.parent))
+
+
+def test_percell_completion_pass_exact_in_crowded_cell():
+    """A cell holding far more bodies than the fast pass's ci_cap slots: the
+    completion pass must give the overflow bodies their exact near field
+    (here: the whole state in two clusters, so near == the exact oracle)."""
+    rng = np.random.RandomState(23)
+    n = 200  # one tight cluster of 160 (>> ci_cap=32) + 40 spread
+    pos = np.concatenate([
+        rng.uniform(-30, 30, (160, 2)),
+        rng.uniform(-4000, 4000, (40, 2))]).astype(np.float32)
+    vel = rng.uniform(-3, 3, (n, 2)).astype(np.float32)
+    mass = rng.uniform(1, 100, n).astype(np.float32)
+    radius = rng.uniform(1, 10, n).astype(np.float32)
+    bh = bh_accumulators(pos, vel, mass, radius, eps=10.0, mode="reference",
+                         levels=2, neighbor_k=200)
+    ex = pair_accumulators(pos, vel, mass, radius, eps=10.0, mode="reference")
+    # levels=2 -> 16 cells over +-4000: every overlap is within one ring
+    np.testing.assert_array_equal(np.asarray(bh.died), np.asarray(ex.died))
+    np.testing.assert_allclose(np.asarray(bh.gained_mass),
+                               np.asarray(ex.gained_mass), rtol=1e-5)
+
+
 def test_near_field_id_packing_exact_beyond_2pow24():
     """Body ids ride two f32 lanes (12-bit lo / hi) in the packed near-field
     rows — the round trip must be exact for any i32 id, removing the old
