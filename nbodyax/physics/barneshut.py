@@ -53,6 +53,7 @@ from nbodyax.physics.pairwise import (PairAccumulators, combine_accumulators,
                                       empty_accumulators)
 
 __all__ = ["bh_accumulators", "bh_local_accumulators",
+           "bh_cellrange_accumulators",
            "auto_levels", "pick_levels", "overflow_count"]
 
 _NEG_INF = jnp.float32(-jnp.inf)
@@ -577,9 +578,23 @@ def _completion_cap(n: int) -> int:
     return min(n, max(1024, n // 16))
 
 
+def _completion_slice(over, n, comp_range):
+    """The (sliced) static-size list of sorted-positions needing the exact
+    per-body completion pass; fill value n marks unused slots."""
+    if comp_range is None:
+        size, base, length = _completion_cap(n), None, None
+    else:
+        base, length, size = comp_range
+    ps = jnp.nonzero(over, size=size, fill_value=n)[0].astype(jnp.int32)
+    if base is not None:
+        ps = lax.dynamic_slice_in_dim(ps, base, length)
+    return ps
+
+
 def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
                       growth_rate, mode, k, ci_cap: int = _CI_CAP,
-                      chunk: int = 8192, _structure=None) -> PairAccumulators:
+                      chunk: int = 8192, _structure=None,
+                      cell_range=None, comp_range=None) -> PairAccumulators:
     """Near field for the FULL body set (i side == partner set): per-CELL
     window gathers.
 
@@ -599,6 +614,12 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
     such bodies, reusing the same sorted structure. Only past that ~10x
     headroom budget do bodies lose their near field — ``overflow_count``
     reports them alongside the K row-cap overflow.
+
+    ``cell_range=(base, count)`` (traced base, static power-of-two count)
+    restricts the per-cell pass to that contiguous cell slice, and
+    ``comp_range=(base, length, total)`` to that slice of the global
+    completion list — the cell-sharded evaluation hooks (bodies outside the
+    ranges keep identity accumulators; see bh_cellrange_accumulators).
     """
     dim = pos.shape[-1]
     n = pos.shape[0]
@@ -611,15 +632,17 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
     rest = 2 * dim if need_vel else dim
     import itertools
 
-    cell_chunk = max(1, min(ncells, (2 * chunk) // ci_cap))
+    ncells_eval = ncells if cell_range is None else cell_range[1]
+    cell_base = jnp.int32(0) if cell_range is None else cell_range[0]
+    cell_chunk = max(1, min(ncells_eval, (2 * chunk) // ci_cap))
     cell_chunk = 1 << (cell_chunk.bit_length() - 1)   # power of 2 ...
-    nchunks = ncells // cell_chunk          # ... so it divides ncells
+    nchunks = ncells_eval // cell_chunk     # ... so it divides ncells_eval
     ks = lax.broadcasted_iota(jnp.int32, (1, k), 1)
     slots_i = lax.broadcasted_iota(jnp.int32, (1, ci_cap), 1)
     B = cell_chunk * ci_cap
 
     def one_chunk(c):
-        cid = (c * cell_chunk
+        cid = (cell_base + c * cell_chunk
                + lax.broadcasted_iota(jnp.int32, (cell_chunk, 1),
                                       0).squeeze(-1))
         coords = []
@@ -687,13 +710,12 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
     srank = (jnp.arange(n, dtype=jnp.int32)
              - starts[jnp.clip(s_cell, 0, ncells - 1)])
     over = (srank >= ci_cap) & (s_cell < ncells)
-    m_cap = _completion_cap(n)
-    ps = jnp.nonzero(over, size=m_cap, fill_value=n)[0].astype(jnp.int32)
+    ps = _completion_slice(over, n, comp_range)
     gi = order[jnp.clip(ps, 0, n - 1)]      # fills -> a real body, dropped
     osidx = jnp.where(ps < n, gi, n)        # ... by scattering to row n
     oacc = _near_field(pos[gi], vel[gi], mass[gi], radius[gi], gi,
                        pos, vel, mass, radius, ext, levels, ring, eps2,
-                       growth_rate, mode, k, min(m_cap, chunk),
+                       growth_rate, mode, k, min(ps.shape[0], chunk),
                        _structure=structure)
     out = PairAccumulators(*[o.at[osidx].set(s)
                              for o, s in zip(out, oacc)])
@@ -701,7 +723,8 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
 
 
 def _far_force_cells(pos, mass, ext, levels, ring, eps2, order, structure,
-                     ci_cap: int = _CI_CAP, chunk: int = 8192):
+                     ci_cap: int = _CI_CAP, chunk: int = 8192,
+                     cell_range=None):
     """Far field for the FULL body set via per-CELL window gathers.
 
     Bodies sharing a finest cell share their level-l cell at EVERY coarser
@@ -732,14 +755,16 @@ def _far_force_cells(pos, mass, ext, levels, ring, eps2, order, structure,
             for d in range(dim)]
     dense_cells = _DENSE_FAR_CELLS[dim]
 
-    cell_chunk = max(1, min(ncells, (2 * chunk) // ci_cap))
+    ncells_eval = ncells if cell_range is None else cell_range[1]
+    cell_base = jnp.int32(0) if cell_range is None else cell_range[0]
+    cell_chunk = max(1, min(ncells_eval, (2 * chunk) // ci_cap))
     cell_chunk = 1 << (cell_chunk.bit_length() - 1)
-    nchunks = ncells // cell_chunk
+    nchunks = ncells_eval // cell_chunk
     slots_i = lax.broadcasted_iota(jnp.int32, (1, ci_cap), 1)
     B = cell_chunk * ci_cap
 
     def one_chunk(c):
-        cid = (c * cell_chunk
+        cid = (cell_base + c * cell_chunk
                + lax.broadcasted_iota(jnp.int32, (cell_chunk, 1),
                                       0).squeeze(-1))
         fcoords = []
@@ -803,6 +828,64 @@ def _far_force_cells(pos, mass, ext, levels, ring, eps2, order, structure,
             sidx.reshape(nchunks * B))
 
 
+def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
+                   levels, ring, neighbor_k, order, chunk,
+                   shard=None, nshards: int = 1) -> PairAccumulators:
+    """Near+far per-cell evaluation over the full body set (or, with
+    ``shard``/``nshards``, over one contiguous 1/nshards cell slice plus
+    1/nshards of the completion list — every body's accumulators are then
+    computed entirely by the one shard owning its finest cell, and bodies
+    outside the slice keep identity accumulators)."""
+    n = pos.shape[0]
+    dim = pos.shape[-1]
+    alive = mass > 0
+    ext = _extent(pos, alive)
+    g = 1 << levels
+    ncells = g ** dim
+    structure = _partner_structure(pos, vel, mass, radius, ext, g,
+                                   mode == "elastic")
+    order_idx, s_cell, starts, _, _ = structure
+    c = min(chunk, n)
+
+    if nshards > 1:
+        if ncells % nshards:
+            raise ValueError(
+                f"shards ({nshards}) must divide the finest grid's "
+                f"{ncells} cells — use a power-of-two shard count or "
+                f"raise bhLevels")
+        comp_len = -(-_completion_cap(n) // nshards)
+        cell_range = (shard * (ncells // nshards), ncells // nshards)
+        comp_range = (shard * comp_len, comp_len, comp_len * nshards)
+    else:
+        cell_range = comp_range = None
+
+    near = _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
+                             jnp.float32(growth_rate), mode, neighbor_k,
+                             chunk=c, _structure=structure,
+                             cell_range=cell_range, comp_range=comp_range)
+
+    # far field: fast per-cell pass + per-body completion over the same
+    # crowded-cell overflow set the near pass finishes
+    fslots, fsidx = _far_force_cells(pos, mass, ext, levels, ring, eps2,
+                                     order, structure, chunk=c,
+                                     cell_range=cell_range)
+    far = jnp.zeros((n + 1, dim), jnp.float32).at[fsidx].set(fslots)
+    srank = (jnp.arange(n, dtype=jnp.int32)
+             - starts[jnp.clip(s_cell, 0, ncells - 1)])
+    over = (srank >= _CI_CAP) & (s_cell < ncells)
+    ps = _completion_slice(over, n, comp_range)
+    gi = order_idx[jnp.clip(ps, 0, n - 1)]
+    osidx = jnp.where(ps < n, gi, n)
+    far_over = _far_force(pos[gi], pos, mass, ext, levels, ring, eps2,
+                          min(ps.shape[0], c), order)
+    far = far.at[osidx].set(far_over)[:n]
+
+    ids = jnp.arange(n, dtype=jnp.int32)
+    far_acc = empty_accumulators(ids, dim=dim)._replace(
+        force=jnp.where(alive[:, None], far, 0.0))
+    return combine_accumulators(near, far_acc)
+
+
 def bh_accumulators(pos, vel, mass, radius, *, eps: float = 0.0,
                     growth_rate: float = 0.1, mode: str = "reference",
                     levels: int = 0, ring: int = 1, neighbor_k: int = 64,
@@ -814,43 +897,37 @@ def bh_accumulators(pos, vel, mass, radius, *, eps: float = 0.0,
     bottleneck) over each cell's first _CI_CAP sorted bodies, with a shared
     per-body completion pass for the (rare, _completion_cap-bounded) bodies
     beyond that."""
-    n = pos.shape[0]
     dim = pos.shape[-1]
-    levels = levels or auto_levels(n, dim=dim)
-    eps2 = jnp.float32(eps) ** 2
-    alive = mass > 0
-    ext = _extent(pos, alive)
-    g = 1 << levels
-    ncells = g ** dim
-    structure = _partner_structure(pos, vel, mass, radius, ext, g,
-                                   mode == "elastic")
-    order_idx, s_cell, starts, _, _ = structure
-    c = min(chunk, n)
+    levels = levels or auto_levels(pos.shape[0], dim=dim)
+    return _bh_cells_eval(pos, vel, mass, radius,
+                          eps2=jnp.float32(eps) ** 2,
+                          growth_rate=growth_rate, mode=mode, levels=levels,
+                          ring=ring, neighbor_k=neighbor_k, order=order,
+                          chunk=chunk)
 
-    near = _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
-                             jnp.float32(growth_rate), mode, neighbor_k,
-                             chunk=c, _structure=structure)
 
-    # far field: fast per-cell pass + per-body completion over the same
-    # crowded-cell overflow set the near pass finishes
-    fslots, fsidx = _far_force_cells(pos, mass, ext, levels, ring, eps2,
-                                     order, structure, chunk=c)
-    far = jnp.zeros((n + 1, dim), jnp.float32).at[fsidx].set(fslots)
-    srank = (jnp.arange(n, dtype=jnp.int32)
-             - starts[jnp.clip(s_cell, 0, ncells - 1)])
-    over = (srank >= _CI_CAP) & (s_cell < ncells)
-    m_cap = _completion_cap(n)
-    ps = jnp.nonzero(over, size=m_cap, fill_value=n)[0].astype(jnp.int32)
-    gi = order_idx[jnp.clip(ps, 0, n - 1)]
-    osidx = jnp.where(ps < n, gi, n)
-    far_over = _far_force(pos[gi], pos, mass, ext, levels, ring, eps2,
-                          min(m_cap, c), order)
-    far = far.at[osidx].set(far_over)[:n]
+def bh_cellrange_accumulators(pos, vel, mass, radius, shard, nshards: int, *,
+                              eps: float = 0.0, growth_rate: float = 0.1,
+                              mode: str = "reference", levels: int = 0,
+                              ring: int = 1, neighbor_k: int = 64,
+                              order: int = 2,
+                              chunk: int = 8192) -> PairAccumulators:
+    """One cell-range shard's contribution to the global accumulators.
 
-    ids = jnp.arange(n, dtype=jnp.int32)
-    far_acc = empty_accumulators(ids, dim=dim)._replace(
-        force=jnp.where(alive[:, None], far, 0.0))
-    return combine_accumulators(near, far_acc)
+    Full-length [n] accumulators holding real values only for bodies whose
+    finest cell falls in shard ``shard``'s contiguous 1/nshards cell slice
+    (identity elsewhere) — the sharded-bh building block: every shard calls
+    this on the identical all-gathered state with its own ``shard`` index,
+    and because the slices are disjoint the cross-shard merge degenerates
+    from the accumulator monoid to a plain sum of identity-rebased lanes
+    (see sharding/bh.py), which rides a single psum_scatter."""
+    dim = pos.shape[-1]
+    levels = levels or auto_levels(pos.shape[0], dim=dim)
+    return _bh_cells_eval(pos, vel, mass, radius,
+                          eps2=jnp.float32(eps) ** 2,
+                          growth_rate=growth_rate, mode=mode, levels=levels,
+                          ring=ring, neighbor_k=neighbor_k, order=order,
+                          chunk=chunk, shard=shard, nshards=nshards)
 
 
 def bh_local_accumulators(i_pos, i_vel, i_mass, i_radius, i_ids,

@@ -3,17 +3,29 @@
 Design: bodies stay index-sharded (same placement as the exact ring); each
 step the full body set is all-gathered, every shard builds the
 (deterministic, identical) quadtree grids and sorted partner structure from
-the gathered arrays, and evaluates near+far accumulators *only for its local
-i slice*. Compute scales with the device count; memory is O(N) per device.
+the gathered arrays, and evaluates the per-CELL near+far passes for its own
+contiguous 1/P slice of finest cells (plus 1/P of the crowded-cell
+completion list). Compute scales with the device count; memory is O(N) per
+device.
+
+Cell-range (not body-range) sharding keeps the per-cell shared-window
+gathers — the single-chip bh speedup (barneshut._near_field_cells /
+_far_force_cells) — intact across shards: every cell's window is still
+gathered exactly once, by exactly one shard. Each body's accumulators are
+computed entirely by the shard owning its finest cell, so the cross-shard
+merge degenerates from the accumulator monoid to a sum of identity-rebased
+lanes, and rides one ``psum_scatter`` that hands every shard exactly its
+local body slice (no second gather).
 
 Why compute-parallel is the right trade at the 4M/8-shard target (per-device
 accounting; see also BENCHMARKS.md):
 
-- **ICI**: one all_gather of (pos, vel, mass, radius) = 24 B/body, i.e.
-  24*N*(P-1)/P received per device per pass — 96 MB at N=4M. At v5e ICI
+- **ICI**: one all_gather of (pos, vel, mass, radius) = 24 B/body (96 MB at
+  N=4M received per device per pass) + one psum_scatter of the merged
+  accumulator lanes (~(2*dim+4) f32 = 32 B/body in 2-D). At v5e ICI
   bandwidth that is milliseconds, against an O(N*levels) bh evaluation that
-  takes seconds at this N (BENCHMARKS.md config 6). Momentum mode gathers
-  the accumulators too (~36 B/body more) — still noise.
+  takes ~seconds at this N (BENCHMARKS.md config 6). Momentum mode gathers
+  the accumulators back once more (~36 B/body) — still noise.
 - **HBM**: gathered arrays (24 B/body) + sorted packed partner features
   (24 B/body: 6 f32 lanes — 8 in elastic mode, which also packs partner
   velocities; ids split across two exactly-f32-representable lanes, exact
@@ -38,7 +50,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from nbodyax.config import SimConfig
-from nbodyax.physics.barneshut import bh_local_accumulators
+from nbodyax.physics.barneshut import bh_cellrange_accumulators
 from nbodyax.physics.collisions import resolve_collisions
 from nbodyax.physics.step import (PhysicsParams, finish_euler,
                                   finish_leapfrog, half_kick_drift)
@@ -54,20 +66,41 @@ def make_sharded_bh_step(cfg: SimConfig,
     if mesh is None:
         mesh = make_mesh(cfg.shards)
 
+    nshards = int(mesh.devices.size)
+
     def local_step(pos, vel, mass, radius):
         n_local = pos.shape[0]
+        n = n_local * nshards
         me = lax.axis_index(AXIS)
-        i_ids = (me * n_local
-                 + lax.broadcasted_iota(jnp.int32, (n_local, 1), 0).squeeze(-1))
         g = lambda x: lax.all_gather(x, AXIS, tiled=True)
+        idx_g = jnp.arange(n, dtype=jnp.int32)
 
         def bh_acc(lp, lv, lm, lr):
-            """Gather the full body set, evaluate bh for the local i slice."""
-            return bh_local_accumulators(
-                lp, lv, lm, lr, i_ids, g(lp), g(lv), g(lm), g(lr),
+            """Gather the full body set, evaluate this shard's cell range,
+            merge to local body slices via one psum_scatter.
+
+            Disjoint cell ranges mean each body row is non-identity on
+            exactly one shard, so the monoid merge is a sum once every lane
+            is rebased to additive identity 0: died rides as i32, parent as
+            (parent - global_index). best_mass is not consumed downstream
+            (resolve_collisions uses parent only) and is returned as its
+            identity."""
+            acc = bh_cellrange_accumulators(
+                g(lp), g(lv), g(lm), g(lr), me, nshards,
                 eps=p.eps, growth_rate=p.growth_rate, mode=p.collision_mode,
                 levels=cfg.bh_levels, ring=cfg.bh_ring,
                 neighbor_k=cfg.bh_neighbor_k, order=cfg.bh_order)
+            sc = lambda x: lax.psum_scatter(x, AXIS, scatter_dimension=0,
+                                            tiled=True)
+            i_loc = me * n_local + jnp.arange(n_local, dtype=jnp.int32)
+            return acc._replace(
+                force=sc(acc.force),
+                gained_mass=sc(acc.gained_mass),
+                gained_radius=sc(acc.gained_radius),
+                died=sc(acc.died.astype(jnp.int32)) > 0,
+                best_mass=jnp.full((n_local,), -jnp.inf, jnp.float32),
+                parent=sc(acc.parent - idx_g) + i_loc,
+                dv=sc(acc.dv))
 
         acc = bh_acc(pos, vel, mass, radius)
 

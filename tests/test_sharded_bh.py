@@ -122,3 +122,61 @@ def test_sharded_bh_scale_representative():
                                rtol=1e-5, atol=1e-3)
     np.testing.assert_array_equal(np.asarray(a.mass) > 0,
                                   np.asarray(b.mass) > 0)
+
+
+@pytest.mark.parametrize("mode", ["reference", "momentum", "elastic"])
+def test_cellrange_shards_are_disjoint_and_complete(mode):
+    """bh_cellrange_accumulators over all shard indices must partition the
+    full bh_accumulators result: each body's row is non-identity on exactly
+    one shard (the owner of its finest cell), and the identity-rebased sum
+    over shards reproduces the single evaluation — the invariant the
+    sharded step's psum_scatter merge rests on. A 200-body cluster in one
+    cell (>> _CI_CAP) forces the sliced completion path too."""
+    import jax.numpy as jnp
+    from nbodyax.physics.barneshut import bh_cellrange_accumulators
+    from nbodyax.physics.pairwise import empty_accumulators
+
+    n, nsh = 1024, 4
+    rng = np.random.RandomState(7)
+    pos = rng.uniform(-2000, 2000, (n, 2)).astype(np.float32)
+    pos[:200] = rng.uniform(-40, 40, (200, 2))    # one crowded cell
+    vel = rng.uniform(-3, 3, (n, 2)).astype(np.float32)
+    mass = rng.uniform(1, 100, n).astype(np.float32)
+    mass[3] = 0.0
+    radius = rng.uniform(1, 15, n).astype(np.float32)
+    kw = dict(eps=10.0, growth_rate=0.1, mode=mode, levels=4, neighbor_k=256)
+
+    full = bh_accumulators(pos, vel, mass, radius, **kw)
+    parts = [bh_cellrange_accumulators(pos, vel, mass, radius,
+                                       jnp.int32(s), nsh, **kw)
+             for s in range(nsh)]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    ident = empty_accumulators(idx)
+
+    own = np.zeros(n, int)
+    for p in parts:
+        touched = (np.asarray(p.parent != idx) | np.asarray(p.died)
+                   | (np.abs(np.asarray(p.force)).sum(1) > 0)
+                   | (np.asarray(p.gained_mass) > 0)
+                   | (np.abs(np.asarray(p.dv)).sum(1) > 0))
+        own += touched
+    assert own.max() <= 1  # disjoint
+
+    merged = ident._replace(
+        force=sum(np.asarray(p.force) for p in parts),
+        gained_mass=sum(np.asarray(p.gained_mass) for p in parts),
+        gained_radius=sum(np.asarray(p.gained_radius) for p in parts),
+        died=sum(np.asarray(p.died).astype(int) for p in parts) > 0,
+        parent=sum(np.asarray(p.parent - idx) for p in parts) + np.asarray(idx),
+        dv=sum(np.asarray(p.dv) for p in parts))
+    np.testing.assert_allclose(merged.force, np.asarray(full.force),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(merged.gained_mass,
+                               np.asarray(full.gained_mass), rtol=1e-6)
+    np.testing.assert_array_equal(merged.died, np.asarray(full.died))
+    np.testing.assert_array_equal(merged.parent, np.asarray(full.parent))
+    # dv is the one lane whose completion-pass summation order depends on
+    # the chunk length (256-row slices vs one 1024-row pass) — float-level
+    # reassociation only, hence the looser tolerance
+    np.testing.assert_allclose(merged.dv, np.asarray(full.dv),
+                               rtol=1e-5, atol=1e-5)
