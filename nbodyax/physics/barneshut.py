@@ -578,6 +578,26 @@ def _completion_cap(n: int) -> int:
     return min(n, max(1024, n // 16))
 
 
+_COMP_TIER = 1024  # mid-tier completion budget (see _tiered)
+
+
+def _tiered(ps, n, run, carry):
+    """Run ``run(carry, ps_slice)`` with the smallest sufficient static
+    budget: nothing when the completion list ``ps`` is empty (fill value
+    ``n`` marks unused slots), a _COMP_TIER-long prefix when the real
+    entries fit in it (ps comes from jnp.nonzero, so they are a prefix),
+    the full list otherwise."""
+    real = jnp.sum((ps < n).astype(jnp.int32))
+    small = min(_COMP_TIER, ps.shape[0])
+    return lax.cond(
+        real == 0, lambda c: c,
+        lambda c: lax.cond(
+            real <= small,
+            lambda c2: run(c2, lax.slice_in_dim(ps, 0, small)),
+            lambda c2: run(c2, ps), c),
+        carry)
+
+
 def _completion_slice(over, n, comp_range):
     """The (sliced) static-size list of sorted-positions needing the exact
     per-body completion pass; fill value n marks unused slots."""
@@ -621,6 +641,7 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
     completion list — the cell-sharded evaluation hooks (bodies outside the
     ranges keep identity accumulators; see bh_cellrange_accumulators).
     """
+    pos, vel, mass, radius = map(jnp.asarray, (pos, vel, mass, radius))
     dim = pos.shape[-1]
     n = pos.shape[0]
     g = 1 << levels
@@ -711,14 +732,23 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
              - starts[jnp.clip(s_cell, 0, ncells - 1)])
     over = (srank >= ci_cap) & (s_cell < ncells)
     ps = _completion_slice(over, n, comp_range)
-    gi = order[jnp.clip(ps, 0, n - 1)]      # fills -> a real body, dropped
-    osidx = jnp.where(ps < n, gi, n)        # ... by scattering to row n
-    oacc = _near_field(pos[gi], vel[gi], mass[gi], radius[gi], gi,
-                       pos, vel, mass, radius, ext, levels, ring, eps2,
-                       growth_rate, mode, k, min(ps.shape[0], chunk),
-                       _structure=structure)
-    out = PairAccumulators(*[o.at[osidx].set(s)
-                             for o, s in zip(out, oacc)])
+
+    def run_completion(out, psx):
+        gi = order[jnp.clip(psx, 0, n - 1)]  # fills -> a real body, dropped
+        osidx = jnp.where(psx < n, gi, n)    # ... by scattering to row n
+        oacc = _near_field(pos[gi], vel[gi], mass[gi], radius[gi], gi,
+                           pos, vel, mass, radius, ext, levels, ring, eps2,
+                           growth_rate, mode, k, min(psx.shape[0], chunk),
+                           _structure=structure)
+        return PairAccumulators(*[o.at[osidx].set(s)
+                                  for o, s in zip(out, oacc)])
+
+    # The completion budget is a static worst case (~n/16 per-body windows —
+    # as many gathered rows as the whole fast pass). Tier it: skip entirely
+    # when nothing in range overflowed, run a _COMP_TIER-body slice for the
+    # Poisson-tail trickle a uniform scene always has, and pay the full
+    # budget only for genuinely clustered states.
+    out = _tiered(ps, n, run_completion, out)
     return jax.tree.map(lambda x: x[:n], out)
 
 
@@ -836,6 +866,7 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
     1/nshards of the completion list — every body's accumulators are then
     computed entirely by the one shard owning its finest cell, and bodies
     outside the slice keep identity accumulators)."""
+    pos, vel, mass, radius = map(jnp.asarray, (pos, vel, mass, radius))
     n = pos.shape[0]
     dim = pos.shape[-1]
     alive = mass > 0
@@ -874,11 +905,16 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
              - starts[jnp.clip(s_cell, 0, ncells - 1)])
     over = (srank >= _CI_CAP) & (s_cell < ncells)
     ps = _completion_slice(over, n, comp_range)
-    gi = order_idx[jnp.clip(ps, 0, n - 1)]
-    osidx = jnp.where(ps < n, gi, n)
-    far_over = _far_force(pos[gi], pos, mass, ext, levels, ring, eps2,
-                          min(ps.shape[0], c), order)
-    far = far.at[osidx].set(far_over)[:n]
+
+    def run_far_completion(far, psx):
+        gi = order_idx[jnp.clip(psx, 0, n - 1)]
+        osidx = jnp.where(psx < n, gi, n)
+        far_over = _far_force(pos[gi], pos, mass, ext, levels, ring, eps2,
+                              min(psx.shape[0], c), order)
+        return far.at[osidx].set(far_over)
+
+    # same tiered static-budget elision as the near completion (_tiered)
+    far = _tiered(ps, n, run_far_completion, far)[:n]
 
     ids = jnp.arange(n, dtype=jnp.int32)
     far_acc = empty_accumulators(ids, dim=dim)._replace(
