@@ -20,6 +20,8 @@ def main(argv=None) -> int:
     ap.add_argument("--k", type=int, default=32)
     ap.add_argument("--ring", type=int, default=1)
     ap.add_argument("--order", type=int, default=2)
+    ap.add_argument("--only", default="",
+                    help="comma-separated probe names (default: all)")
     args = ap.parse_args(argv)
 
     import jax
@@ -77,12 +79,58 @@ def main(argv=None) -> int:
             _ = float(r if not hasattr(r, "pos") else r.pos[0, 0])
         return (time.perf_counter() - t0) / args.reps
 
+    from nbodyax.physics.barneshut import (_far_force_cells, _level_grids,
+                                           _near_field_cells,
+                                           _partner_structure)
+
+    g = 1 << levels
+
+    @jax.jit
+    def structure_only(pos, vel, mass, radius):
+        ext = _extent(pos, mass > 0)
+        s = _partner_structure(pos, vel, mass, radius, ext, g, False)
+        return s[0][0] + s[2][0] + s[4][0, 0]
+
+    @jax.jit
+    def grids_only(pos, mass):
+        ext = _extent(pos, mass > 0)
+        grids = _level_grids(pos, mass, ext, levels, args.order)
+        return sum(gr[0][0] for gr in grids.values())
+
+    @jax.jit
+    def near_cells_only(pos, vel, mass, radius):
+        ext = _extent(pos, mass > 0)
+        acc = _near_field_cells(pos, vel, mass, radius, ext, levels,
+                                args.ring, eps2, jnp.float32(0.1),
+                                "reference", args.k)
+        return acc.force[0, 0] + acc.gained_mass[-1]
+
+    @jax.jit
+    def far_cells_only(pos, vel, mass, radius):
+        ext = _extent(pos, mass > 0)
+        s = _partner_structure(pos, vel, mass, radius, ext, g, False)
+        fs, si = _far_force_cells(pos, mass, ext, levels, args.ring, eps2,
+                                  args.order, s)
+        return fs[0, 0] + si[-1]
+
+    probes = {
+        "structure_s": (structure_only, (pos, vel, mass, radius)),
+        "grids_s": (grids_only, (pos, mass)),
+        "near_cells_s": (near_cells_only, (pos, vel, mass, radius)),
+        "far_cells_s": (far_cells_only, (pos, vel, mass, radius)),
+        "far_s": (far_only, (pos, mass)),
+        "near_s": (near_only, (pos, vel, mass, radius)),
+        "accum_s": (accum_full, (pos, vel, mass, radius)),
+        "full_step_s": (step, (state,)),
+    }
+    only = [s for s in (args.only or "").split(",") if s]
     out = {"n": n, "levels": levels, "k": args.k, "ring": args.ring,
-           "order": args.order,
-           "far_s": round(timed(far_only, pos, mass), 3),
-           "near_s": round(timed(near_only, pos, vel, mass, radius), 3),
-           "accum_s": round(timed(accum_full, pos, vel, mass, radius), 3),
-           "full_step_s": round(timed(step, state), 3)}
+           "order": args.order}
+    for name, (fn, a) in probes.items():
+        if only and name not in only:
+            continue
+        out[name] = round(timed(fn, *a), 3)
+        print(json.dumps({name: out[name]}), flush=True)  # survive timeouts
     print(json.dumps(out), flush=True)
     return 0
 
