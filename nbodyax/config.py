@@ -120,7 +120,10 @@ class SimConfig:
                                           # latest checkpoint and continue
     max_retries: int = 3                  # attempts when autoResume is on
     resume_from: str = ""                 # checkpoint file to resume from
-    log_every: int = 1
+    log_every: int = 10                   # JSONL cadence; also bounds the
+                                          # driver's fused dispatch window
+                                          # (1 = per-step dispatches: slow on
+                                          # high-latency transports)
     energy_every: int = 0                 # also log O(N^2) pair potential +
                                           # total energy every k steps (0=off;
                                           # must be a multiple of logEvery)

@@ -180,14 +180,22 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
               if cfg.save_images and cfg.save_image_every > 0 else None)
     frames = 0
 
-    # host touch-points (render / log / checkpoint) have a fixed cadence; any
-    # stretch between them runs as ONE device dispatch (lax.fori_loop over the
-    # jitted step) so host/dispatch latency never gates small-N throughput
+    # host touch-points (log / checkpoint / compact) have a fixed cadence;
+    # any stretch between them runs as ONE device dispatch (lax.fori_loop
+    # over the jitted step) so host/dispatch latency never gates small-N
+    # throughput. Frames do NOT bound the window: when the frame cadence
+    # divides it, all of a window's frames render in-jit into one stacked
+    # buffer (fpw frames/dispatch) — on high-latency transports one dispatch
+    # per frame costs far more than the fused rasterizes.
     import math
-    cadences = [c for c in (cfg.save_image_every if cfg.save_images else 0,
-                            cfg.log_every, cfg.checkpoint_every,
+    k_img = (cfg.save_image_every
+             if cfg.save_images and cfg.save_image_every > 0 else 0)
+    cadences = [c for c in (cfg.log_every, cfg.checkpoint_every,
                             cfg.compact_every, cfg.energy_every) if c]
-    stride = math.gcd(*cadences) if cadences else 64
+    base = math.gcd(*cadences) if cadences else (16 * k_img if k_img else 64)
+    if k_img and base % k_img:
+        base = math.gcd(base, k_img)    # misaligned: one frame per window
+    stride = base
 
     host_loop = getattr(step, "_host_loop", False)
     runners = {1: step}
@@ -211,26 +219,53 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
         return run(s)
 
     def advance_frame_window(s, k):
-        """k steps + the post-first-step frame (reference content,
-        nbody.cu:529-538) as ONE fused device dispatch: on high-latency
-        transports an extra dispatch per frame window costs more than the
-        in-jit rasterize (~N*patch^2 VPU ops) riding the metered window."""
+        """k steps + every due frame as ONE fused device dispatch. Frame
+        ``iteration + m*k_img`` holds post-step state under that index
+        (reference content, nbody.cu:529-538): in-window step i satisfies
+        i % k_img == 0 exactly when the just-completed global step carries a
+        frame label, and the rasterize rides the metered window — on
+        high-latency transports an extra dispatch per frame costs far more
+        than the in-jit rasterize (~N*patch^2 VPU ops). Returns
+        (state, frames) with frames stacked [ceil(k/k_img), H, W]."""
+        nf = -(-k // k_img)
         if host_loop or k not in compiled_ks:
-            s = advance_k(s, 1)
-            img = render_state(s, cfg)
-            if k > 1:
-                s = advance_k(s, k - 1)
-            return s, img
+            imgs = []
+            done = 0
+            while done < k:
+                s = advance_k(s, 1)
+                imgs.append(render_state(s, cfg))
+                kk = min(k_img - 1, k - done - 1)
+                if kk:
+                    s = advance_k(s, kk)
+                done += 1 + kk
+            return s, imgs
         run = snap_runners.get(k)
         if run is None:
+            import jax.numpy as jnp
+            from jax import lax
+
             @jax.jit
-            def run(s, _k=k):
-                s1 = step(s)
-                img = render_state(s1, cfg)
-                out = jax.lax.fori_loop(0, _k - 1, lambda i, st: step(st), s1)
-                return out, img
+            def run(s, _k=k, _nf=nf):
+                probe = render_state(s, cfg)      # shape/dtype only
+                buf = jnp.zeros((_nf,) + probe.shape, probe.dtype)
+
+                def body(i, carry):
+                    st, b = carry
+                    st = step(st)
+
+                    def snap(b):
+                        img = render_state(st, cfg)
+                        return lax.dynamic_update_slice(
+                            b, img[None], (i // k_img,)
+                            + (0,) * probe.ndim)
+
+                    b = lax.cond(i % k_img == 0, snap, lambda b: b, b)
+                    return st, b
+
+                return lax.fori_loop(0, _k, body, (s, buf))
             snap_runners[k] = run
-        return run(s)
+        s, buf = run(s)
+        return s, [buf[m] for m in range(nf)]
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
@@ -243,10 +278,11 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                 # render launches after iteration j's kernels, under j's
                 # index (nbody.cu:529-538) — fused into the window dispatch
                 meter.start()
-                state, img = advance_frame_window(state, k)
+                state, imgs = advance_frame_window(state, k)
                 meter.stop(state, steps=k)
-                writer.submit(iteration, img)   # async host write
-                frames += 1
+                for m, img in enumerate(imgs):
+                    writer.submit(iteration + m * k_img, img)  # async write
+                frames += len(imgs)
             else:
                 meter.start()
                 state = advance_k(state, k)

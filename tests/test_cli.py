@@ -30,7 +30,8 @@ def tiny_config(tmp_path):
         f"imagePath={tmp_path / 'frames'}\n"
         f"logPath={tmp_path / 'metrics.jsonl'}\n"
         f"checkpointPath={tmp_path / 'ckpt'}\n"
-        "checkpointEvery=6\n")
+        "checkpointEvery=6\n"
+        "logEvery=1\n")
     return cfg, tmp_path
 
 

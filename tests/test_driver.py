@@ -95,3 +95,31 @@ def test_energy_logging_cadence(tmp_path):
     assert abs(r["total_energy"] - (r["potential_energy"]
                                     + r["kinetic_energy"])) <= \
         1e-6 * max(abs(r["total_energy"]), 1.0)
+
+
+def test_multi_frame_fused_window_content(tmp_path):
+    """With logEvery a multiple of the frame cadence, several frames render
+    inside ONE fused dispatch window (driver.advance_frame_window's stacked
+    buffer). Every frame must still exist, carry its post-step-j reference
+    content, and match a per-step (stride-1) run byte for byte."""
+    from nbodyax.tools import read_pgm
+
+    common = dict(save_images=True, save_image_every=2, total_iterations=12,
+                  particle_count=64)
+    cfg_f = base_cfg(tmp_path / "fused", log_every=12,
+                     image_path=str(tmp_path / "fused" / "frames"),
+                     log_path=str(tmp_path / "fused" / "m.jsonl"), **common)
+    cfg_1 = base_cfg(tmp_path / "ref", log_every=1,
+                     image_path=str(tmp_path / "ref" / "frames"),
+                     log_path=str(tmp_path / "ref" / "m.jsonl"), **common)
+    rf = run_simulation(cfg_f, quiet=True)
+    r1 = run_simulation(cfg_1, quiet=True)
+    names = sorted(os.listdir(tmp_path / "fused" / "frames"))
+    assert names == sorted(os.listdir(tmp_path / "ref" / "frames"))
+    assert names == [f"iteration_{j}.ppm" for j in
+                     sorted((0, 2, 4, 6, 8, 10), key=str)]
+    assert rf.frames_written == r1.frames_written == 6
+    for nm in names:
+        np.testing.assert_array_equal(
+            read_pgm(str(tmp_path / "fused" / "frames" / nm)),
+            read_pgm(str(tmp_path / "ref" / "frames" / nm)), err_msg=nm)
