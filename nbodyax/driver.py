@@ -21,7 +21,7 @@ import numpy as np
 from nbodyax.backends import build_accum_fn, resolve_backend
 from nbodyax.config import SimConfig
 from nbodyax.io.checkpoint import load_checkpoint, save_checkpoint
-from nbodyax.metrics import JsonlLogger, StepMeter, conservation_scalars
+from nbodyax.metrics import JsonlLogger, StepMeter, scalars_from_vec
 from nbodyax.physics.step import PhysicsParams, make_step
 from nbodyax.render import FrameWriter, render_state
 from nbodyax.scenes import init_scene
@@ -198,23 +198,31 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
     stride = base
 
     host_loop = getattr(step, "_host_loop", False)
-    runners = {1: step}
+    runners = {}
     snap_runners = {}
     # only the RECURRING window size (the stride) gets its own compile;
     # one-off tails (total % stride) host-loop the already-compiled step —
     # a handful of dispatches beats a multi-minute one-shot compile.
     compiled_ks = {stride}
 
+    from nbodyax.metrics import _conservation_vec
+
     def advance_k(s, k):
         """k steps as one device dispatch (jitted fori_loop, cached per
-        recurring k); the split-dispatch step stays host-orchestrated."""
+        recurring k); the split-dispatch step stays host-orchestrated.
+        Returns (state, conservation vec): the vec rides the window dispatch
+        (its device cost is noise) and its host fetch doubles as the
+        window's completion fence AND the log payload — one round-trip per
+        window instead of three."""
         if host_loop or (k not in compiled_ks and k != 1):
-            return _run_k(step, s, k)
+            s = _run_k(step, s, k)
+            return s, _conservation_vec(s)
         run = runners.get(k)
         if run is None:
             @jax.jit
             def run(s, _k=k):
-                return jax.lax.fori_loop(0, _k, lambda i, st: step(st), s)
+                out = jax.lax.fori_loop(0, _k, lambda i, st: step(st), s)
+                return out, _conservation_vec(out)
             runners[k] = run
         return run(s)
 
@@ -232,13 +240,13 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
             imgs = []
             done = 0
             while done < k:
-                s = advance_k(s, 1)
+                s, _ = advance_k(s, 1)
                 imgs.append(render_state(s, cfg))
                 kk = min(k_img - 1, k - done - 1)
                 if kk:
-                    s = advance_k(s, kk)
+                    s, _ = advance_k(s, kk)
                 done += 1 + kk
-            return s, imgs
+            return s, imgs, _conservation_vec(s)
         run = snap_runners.get(k)
         if run is None:
             import jax.numpy as jnp
@@ -262,10 +270,14 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                     b = lax.cond(i % k_img == 0, snap, lambda b: b, b)
                     return st, b
 
-                return lax.fori_loop(0, _k, body, (s, buf))
+                out, b = lax.fori_loop(0, _k, body, (s, buf))
+                return out, b, _conservation_vec(out)
             snap_runners[k] = run
-        s, buf = run(s)
-        return s, [buf[m] for m in range(nf)]
+        s, buf, vec = run(s)
+        # ONE host fetch for the whole window's frames: per-frame device
+        # slices would each cost a dispatch + fetch round-trip on the relay
+        imgs = np.asarray(buf)
+        return s, [imgs[m] for m in range(nf)], vec
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
@@ -273,23 +285,26 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
         iteration = start_step
         while iteration < cfg.total_iterations:
             k = min(stride, cfg.total_iterations - iteration)
+            log_due = cfg.log_every and (iteration + k) % cfg.log_every == 0
             if writer is not None and iteration % cfg.save_image_every == 0:
                 # reference frame iteration_j holds *post-step-j* state: the
                 # render launches after iteration j's kernels, under j's
                 # index (nbody.cu:529-538) — fused into the window dispatch
                 meter.start()
-                state, imgs = advance_frame_window(state, k)
-                meter.stop(state, steps=k)
+                state, imgs, vec = advance_frame_window(state, k)
+                v = np.asarray(vec)     # fences the window (see advance_k)
+                meter.stop(None, steps=k)
                 for m, img in enumerate(imgs):
                     writer.submit(iteration + m * k_img, img)  # async write
                 frames += len(imgs)
             else:
                 meter.start()
-                state = advance_k(state, k)
-                meter.stop(state, steps=k)
+                state, vec = advance_k(state, k)
+                v = np.asarray(vec)     # fences the window (see advance_k)
+                meter.stop(None, steps=k)
             iteration += k
-            if cfg.log_every and iteration % cfg.log_every == 0:
-                scal = conservation_scalars(state)
+            if log_due:
+                scal = scalars_from_vec(v, cfg.dimensions)
                 if cfg.force_model == "bh":
                     from nbodyax.physics.barneshut import overflow_count
                     # bodies invisible to the near field this step (raise

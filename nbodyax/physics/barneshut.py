@@ -991,6 +991,7 @@ def bh_local_accumulators(i_pos, i_vel, i_mass, i_radius, i_ids,
     return combine_accumulators(near, far_acc)
 
 
+@partial(jax.jit, static_argnames=("levels", "neighbor_k", "ring"))
 def overflow_count(pos, mass, *, levels: int = 0, neighbor_k: int = 64,
                    ring: int = 1):
     """Diagnostic: how many live bodies are invisible to some part of the
