@@ -26,6 +26,11 @@ def main(argv=None) -> int:
     ap.add_argument("--n", type=int, default=4_194_304)
     ap.add_argument("--workdir", default="/tmp/nbodyax_soak4m")
     ap.add_argument("--out", default="")
+    ap.add_argument("--force-model", default="exact",
+                    choices=("exact", "bh"),
+                    help="bh runs the same soak ~30x faster (longer "
+                         "horizons become practical)")
+    ap.add_argument("--bh-levels", type=int, default=9)
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -45,6 +50,8 @@ def main(argv=None) -> int:
             collision_mode="reference", total_iterations=total,
             checkpoint_every=4, log_every=4, save_images=False,
             checkpoint_path=ck_path,
+            force_model=args.force_model,
+            bh_levels=args.bh_levels if args.force_model == "bh" else 0,
             log_path=os.path.join(args.workdir, "soak.jsonl"))
 
     def scal(state):
@@ -66,7 +73,7 @@ def main(argv=None) -> int:
     total_steps = int(np.asarray(res_b.state.step))
 
     record = {
-        "bench": "soak4m", "n": args.n,
+        "bench": "soak4m", "n": args.n, "force_model": args.force_model,
         "steps_total": total_steps,
         "resume_boundary_at": args.steps_a,
         "phase_a": a, "phase_b": b,
