@@ -52,8 +52,7 @@ from jax import lax
 from nbodyax.physics.pairwise import (PairAccumulators, combine_accumulators,
                                       empty_accumulators)
 
-__all__ = ["bh_accumulators", "bh_local_accumulators",
-           "bh_cellrange_accumulators",
+__all__ = ["bh_accumulators", "bh_cellrange_accumulators",
            "auto_levels", "pick_levels", "overflow_count"]
 
 _NEG_INF = jnp.float32(-jnp.inf)
@@ -964,31 +963,6 @@ def bh_cellrange_accumulators(pos, vel, mass, radius, shard, nshards: int, *,
                           growth_rate=growth_rate, mode=mode, levels=levels,
                           ring=ring, neighbor_k=neighbor_k, order=order,
                           chunk=chunk, shard=shard, nshards=nshards)
-
-
-def bh_local_accumulators(i_pos, i_vel, i_mass, i_radius, i_ids,
-                          pos, vel, mass, radius, *, eps: float,
-                          growth_rate: float, mode: str, levels: int = 0,
-                          ring: int = 1, neighbor_k: int = 64,
-                          order: int = 2,
-                          chunk: int = 8192) -> PairAccumulators:
-    """Accumulators for a subset of bodies (the i side, with global ids)
-    against the full global body set — the sharded-bh building block: each
-    shard passes its local slice as i and the all-gathered arrays as the
-    partner set. Identical math to bh_accumulators."""
-    n = pos.shape[0]
-    levels = levels or auto_levels(n, dim=pos.shape[-1])
-    eps2 = jnp.float32(eps) ** 2
-    ext = _extent(pos, mass > 0)
-    c = min(chunk, i_pos.shape[0])
-    near = _near_field(i_pos, i_vel, i_mass, i_radius, i_ids,
-                       pos, vel, mass, radius, ext, levels, ring, eps2,
-                       jnp.float32(growth_rate), mode, neighbor_k, c)
-    far = _far_force(i_pos, pos, mass, ext, levels, ring, eps2, c, order)
-    far_acc = empty_accumulators(i_ids.astype(jnp.int32),
-                                 dim=pos.shape[-1])._replace(
-        force=jnp.where((i_mass > 0)[:, None], far, 0.0))
-    return combine_accumulators(near, far_acc)
 
 
 @partial(jax.jit, static_argnames=("levels", "neighbor_k", "ring"))
