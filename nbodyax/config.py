@@ -106,6 +106,13 @@ class SimConfig:
     bh_order: int = 2                     # far-field expansion: 1=monopole,
                                           # 2=+quadrupole (default: ~5x less
                                           # error, measured no slower on v5e)
+    bh_adapt: bool = True                 # driver self-tuning between log
+                                          # windows: double bhNeighborK when
+                                          # bh_overflow is logged, coarsen
+                                          # bhLevels when grown radii
+                                          # threaten the near-window
+                                          # collision range (bounded
+                                          # recompiles; 0 = pin the knobs)
     shards: int = 1                       # devices to shard bodies over
     scene: str = "uniform"                # uniform (reference) | galaxy | three_body
     # NOTE deliberately no bf16 knob: bf16's 8-bit mantissa quantizes default-
@@ -202,6 +209,7 @@ _KEYS = {
     "bhRing": ("bh_ring", _stoi),
     "bhNeighborK": ("bh_neighbor_k", _stoi),
     "bhOrder": ("bh_order", _stoi),
+    "bhAdapt": ("bh_adapt", _bool),
     "shards": ("shards", _stoi),
     "scene": ("scene", lambda s, k: s.strip()),
     "compactEvery": ("compact_every", _stoi),

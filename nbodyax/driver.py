@@ -306,12 +306,39 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
             if log_due:
                 scal = scalars_from_vec(v, cfg.dimensions)
                 if cfg.force_model == "bh":
-                    from nbodyax.physics.barneshut import overflow_count
+                    from nbodyax.physics.barneshut import bh_health
+                    # [overflow, max radius, min span] in one dispatch+fetch:
                     # bodies invisible to the near field this step (raise
                     # bhNeighborK / bhLevels if this is ever nonzero)
-                    scal["bh_overflow"] = overflow_count(
-                        state.pos, state.mass, levels=cfg.bh_levels,
-                        neighbor_k=cfg.bh_neighbor_k, ring=cfg.bh_ring)
+                    h = np.asarray(bh_health(
+                        state.pos, state.mass, state.radius,
+                        levels=cfg.bh_levels, neighbor_k=cfg.bh_neighbor_k,
+                        ring=cfg.bh_ring))
+                    scal["bh_overflow"] = int(h[0])
+                    if cfg.bh_adapt:
+                        # self-tuning between windows (bounded recompiles):
+                        # collapsing/merging runs drift out of any fixed
+                        # (levels, K) envelope — widen K on partner overflow,
+                        # coarsen levels when grown radii outrun the ring's
+                        # collision coverage (approximation 1/2 in
+                        # barneshut's module docstring)
+                        new = {}
+                        if (h[0] > max(64.0, 1e-3 * scal["alive"])
+                                and cfg.bh_neighbor_k < 1024):
+                            new["bh_neighbor_k"] = 2 * cfg.bh_neighbor_k
+                        cell = h[2] / (1 << cfg.bh_levels)
+                        if 2.0 * h[1] > cfg.bh_ring * cell \
+                                and cfg.bh_levels > 2:
+                            new["bh_levels"] = cfg.bh_levels - 1
+                        if new:
+                            from dataclasses import replace as _dc
+                            cfg = _dc(cfg, **new)
+                            step = build_step(cfg, capacity=state.capacity)
+                            host_loop = getattr(step, "_host_loop", False)
+                            runners.clear()
+                            snap_runners.clear()
+                            if not quiet:
+                                print(f"bh adapt at step {iteration}: {new}")
                 if cfg.energy_every and iteration % cfg.energy_every == 0:
                     # O(N^2) pair potential: opt-in, at its own (coarser)
                     # cadence — as expensive as a force pass

@@ -53,7 +53,7 @@ from nbodyax.physics.pairwise import (PairAccumulators, combine_accumulators,
                                       empty_accumulators)
 
 __all__ = ["bh_accumulators", "bh_cellrange_accumulators",
-           "auto_levels", "pick_levels", "overflow_count"]
+           "auto_levels", "pick_levels", "overflow_count", "bh_health"]
 
 _NEG_INF = jnp.float32(-jnp.inf)
 
@@ -998,3 +998,22 @@ def overflow_count(pos, mass, *, levels: int = 0, neighbor_k: int = 64,
     i_over = jnp.sum(jnp.maximum(occ[:-1] - _CI_CAP, 0))
     dropped = jnp.maximum(i_over - _completion_cap(n), 0)
     return row_over + dropped
+
+
+@partial(jax.jit, static_argnames=("levels", "neighbor_k", "ring"))
+def bh_health(pos, mass, radius, *, levels: int, neighbor_k: int = 64,
+              ring: int = 1):
+    """One-dispatch health probe for the driver's per-log bh check:
+    [overflow_count, max live radius, min bounding-box span]. The driver
+    fetches this single vector and (with ``bhAdapt``) raises bhNeighborK on
+    overflow or coarsens bhLevels when 2*max_radius outgrows the ring's
+    collision coverage (ring * min_span / 2^levels)."""
+    alive = mass > 0
+    ov = overflow_count(pos, mass, levels=levels, neighbor_k=neighbor_k,
+                        ring=ring)
+    rmax = jnp.max(jnp.where(alive, radius, 0.0))
+    _, spans = _extent(pos, alive)
+    span_min = spans[0]
+    for s in spans[1:]:
+        span_min = jnp.minimum(span_min, s)
+    return jnp.stack([ov.astype(jnp.float32), rmax, span_min])

@@ -123,3 +123,58 @@ def test_multi_frame_fused_window_content(tmp_path):
         np.testing.assert_array_equal(
             read_pgm(str(tmp_path / "fused" / "frames" / nm)),
             read_pgm(str(tmp_path / "ref" / "frames" / nm)), err_msg=nm)
+
+
+def test_bh_adapt_raises_neighbor_k_on_overflow(tmp_path, capsys):
+    """bhAdapt: a clustered scene whose window rows overflow a tiny
+    bhNeighborK must trigger a between-window rebuild with doubled K."""
+    rng = np.random.RandomState(3)
+    n = 512
+    pos = rng.uniform(-40, 40, (n, 2)).astype(np.float32)  # one dense blob
+    from nbodyax.state import make_state
+    st = make_state(pos, np.zeros((n, 2), np.float32),
+                    rng.uniform(1, 10, n).astype(np.float32),
+                    np.full(n, 0.5, np.float32))
+    cfg = base_cfg(tmp_path, particle_count=n, total_iterations=4,
+                   force_model="bh", softening=10.0, bh_levels=3,
+                   bh_neighbor_k=4, log_every=2, field_width=100,
+                   field_height=100)
+    run_simulation(cfg, quiet=False, state=st)
+    out = capsys.readouterr().out
+    assert "bh adapt" in out and "bh_neighbor_k" in out, out
+
+
+def test_bh_adapt_coarsens_levels_when_radii_outgrow_window(tmp_path, capsys):
+    """bhAdapt: radii larger than the ring's collision coverage at the
+    current finest level must coarsen bhLevels between windows."""
+    rng = np.random.RandomState(4)
+    n = 256
+    from nbodyax.state import make_state
+    pos = rng.uniform(-1000, 1000, (n, 2)).astype(np.float32)
+    st = make_state(pos, np.zeros((n, 2), np.float32),
+                    rng.uniform(1, 10, n).astype(np.float32),
+                    np.full(n, 300.0, np.float32))   # huge radii vs cells
+    cfg = base_cfg(tmp_path, particle_count=n, total_iterations=4,
+                   force_model="bh", softening=10.0, bh_levels=5,
+                   bh_neighbor_k=64, log_every=2, field_width=2000,
+                   field_height=2000)
+    run_simulation(cfg, quiet=False, state=st)
+    out = capsys.readouterr().out
+    assert "bh adapt" in out and "bh_levels" in out, out
+
+
+def test_bh_adapt_off_pins_knobs(tmp_path, capsys):
+    """bhAdapt=0 must leave the configured knobs untouched (no rebuild)."""
+    rng = np.random.RandomState(3)
+    n = 512
+    from nbodyax.state import make_state
+    pos = rng.uniform(-40, 40, (n, 2)).astype(np.float32)
+    st = make_state(pos, np.zeros((n, 2), np.float32),
+                    rng.uniform(1, 10, n).astype(np.float32),
+                    np.full(n, 0.5, np.float32))
+    cfg = base_cfg(tmp_path, particle_count=n, total_iterations=4,
+                   force_model="bh", softening=10.0, bh_levels=3,
+                   bh_neighbor_k=4, log_every=2, field_width=100,
+                   field_height=100, bh_adapt=False)
+    run_simulation(cfg, quiet=False, state=st)
+    assert "bh adapt" not in capsys.readouterr().out
