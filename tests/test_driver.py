@@ -178,3 +178,25 @@ def test_bh_adapt_off_pins_knobs(tmp_path, capsys):
                    field_height=100, bh_adapt=False)
     run_simulation(cfg, quiet=False, state=st)
     assert "bh adapt" not in capsys.readouterr().out
+
+
+def test_driver_sharded_end_to_end(tmp_path):
+    """run_simulation with shards=8 on the virtual mesh: the fused window
+    runners (fori_loop over the shard_map step + in-jit conservation vec)
+    must work on sharded state, for both the exact ring and bh engines."""
+    import json
+
+    for fm in ("exact", "bh"):
+        d = tmp_path / fm
+        cfg = base_cfg(d, particle_count=128, total_iterations=6,
+                       shards=8, backend="jnp", log_every=3,
+                       log_path=str(d / "m.jsonl"),
+                       **({"force_model": "bh", "softening": 10.0,
+                           "bh_levels": 3, "bh_neighbor_k": 128}
+                          if fm == "bh" else {}))
+        res = run_simulation(cfg, quiet=True)
+        assert np.isfinite(np.asarray(res.state.pos)).all(), fm
+        lines = [json.loads(l) for l in
+                 (d / "m.jsonl").read_text().splitlines()]
+        assert [l["step"] for l in lines] == [3, 6], fm
+        assert lines[-1]["alive"] <= 128, fm
