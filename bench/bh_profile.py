@@ -20,6 +20,10 @@ def main(argv=None) -> int:
     ap.add_argument("--k", type=int, default=32)
     ap.add_argument("--ring", type=int, default=1)
     ap.add_argument("--order", type=int, default=2)
+    ap.add_argument("--dim", type=int, default=2, choices=(2, 3))
+    ap.add_argument("--cicap", type=int, default=0,
+                    help="per-cell slot cap override (0 = slot_cap auto)")
+    ap.add_argument("--far", default="fmm", choices=("fmm", "direct"))
     ap.add_argument("--only", default="",
                     help="comma-separated probe names (default: all)")
     args = ap.parse_args(argv)
@@ -30,15 +34,17 @@ def main(argv=None) -> int:
     from nbodyax.config import SimConfig
     from nbodyax.driver import build_step
     from nbodyax.physics.barneshut import (_extent, _far_force, _near_field,
-                                           auto_levels, bh_accumulators)
+                                           auto_levels, bh_accumulators,
+                                           slot_cap)
     from nbodyax.scenes import init_scene
 
     n = args.n
-    levels = args.levels or auto_levels(n)
+    levels = args.levels or auto_levels(n, dim=args.dim)
     cfg = SimConfig(particle_count=n, collision_mode="reference",
                     force_model="bh", softening=100.0, bh_levels=levels,
                     bh_neighbor_k=args.k, bh_ring=args.ring,
-                    bh_order=args.order)
+                    bh_order=args.order, dimensions=args.dim,
+                    bh_far=args.far)
     state = init_scene(cfg, parity=False)
     pos, vel = state.pos, state.vel
     mass, radius = state.mass, state.radius
@@ -65,7 +71,8 @@ def main(argv=None) -> int:
         acc = bh_accumulators(pos, vel, mass, radius, eps=cfg.softening,
                               growth_rate=0.1, mode="reference", levels=levels,
                               ring=args.ring, neighbor_k=args.k,
-                              order=args.order)
+                              order=args.order, ci_cap=args.cicap,
+                              far=args.far)
         return acc.force[0, 0] + acc.gained_mass[-1]
 
     step = build_step(cfg)
@@ -84,6 +91,7 @@ def main(argv=None) -> int:
                                            _partner_structure)
 
     g = 1 << levels
+    cap = args.cicap or slot_cap(n, g ** args.dim)
 
     @jax.jit
     def structure_only(pos, vel, mass, radius):
@@ -102,15 +110,35 @@ def main(argv=None) -> int:
         ext = _extent(pos, mass > 0)
         acc = _near_field_cells(pos, vel, mass, radius, ext, levels,
                                 args.ring, eps2, jnp.float32(0.1),
-                                "reference", args.k)
+                                "reference", args.k, ci_cap=cap)
         return acc.force[0, 0] + acc.gained_mass[-1]
+
+    @jax.jit
+    def fmm_far_only(pos, mass):
+        from nbodyax.physics.barneshut import _fmm_far_force
+        ext = _extent(pos, mass > 0)
+        f = _fmm_far_force(pos, mass, ext, levels, args.ring + 1, eps2,
+                           args.order)
+        return f[0, 0] + f[-1, 1]
+
+    @jax.jit
+    def annulus_only(pos, vel, mass, radius):
+        from nbodyax.physics.barneshut import (_annulus_force_cells,
+                                               _level_grids)
+        ext = _extent(pos, mass > 0)
+        s = _partner_structure(pos, vel, mass, radius, ext, g, False)
+        grids = _level_grids(pos, mass, ext, levels, order=2)
+        fs, si = _annulus_force_cells(jnp.stack(grids[levels], axis=1), ext,
+                                      levels, args.ring, args.ring + 1, eps2,
+                                      2, s, ci_cap=cap)
+        return fs[0, 0] + si[-1]
 
     @jax.jit
     def far_cells_only(pos, vel, mass, radius):
         ext = _extent(pos, mass > 0)
         s = _partner_structure(pos, vel, mass, radius, ext, g, False)
         fs, si = _far_force_cells(pos, mass, ext, levels, args.ring, eps2,
-                                  args.order, s)
+                                  args.order, s, ci_cap=cap)
         return fs[0, 0] + si[-1]
 
     probes = {
@@ -118,6 +146,8 @@ def main(argv=None) -> int:
         "grids_s": (grids_only, (pos, mass)),
         "near_cells_s": (near_cells_only, (pos, vel, mass, radius)),
         "far_cells_s": (far_cells_only, (pos, vel, mass, radius)),
+        "fmm_far_s": (fmm_far_only, (pos, mass)),
+        "annulus_s": (annulus_only, (pos, vel, mass, radius)),
         "far_s": (far_only, (pos, mass)),
         "near_s": (near_only, (pos, vel, mass, radius)),
         "accum_s": (accum_full, (pos, vel, mass, radius)),
@@ -125,7 +155,8 @@ def main(argv=None) -> int:
     }
     only = [s for s in (args.only or "").split(",") if s]
     out = {"n": n, "levels": levels, "k": args.k, "ring": args.ring,
-           "order": args.order}
+           "order": args.order, "dim": args.dim, "ci_cap": cap,
+           "far": args.far}
     for name, (fn, a) in probes.items():
         if only and name not in only:
             continue

@@ -36,7 +36,8 @@ def build_accum_fn(backend: str, p: PhysicsParams, cfg=None):
         return partial(bh_accumulators, eps=p.eps, growth_rate=p.growth_rate,
                        mode=p.collision_mode, levels=cfg.bh_levels,
                        ring=cfg.bh_ring, neighbor_k=cfg.bh_neighbor_k,
-                       order=cfg.bh_order)
+                       order=cfg.bh_order,
+                       far=getattr(cfg, "bh_far", "fmm"))
     backend = resolve_backend(backend)
     if backend == "jnp":
         return partial(pair_accumulators, eps=p.eps, growth_rate=p.growth_rate,

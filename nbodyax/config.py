@@ -106,6 +106,11 @@ class SimConfig:
     bh_order: int = 2                     # far-field expansion: 1=monopole,
                                           # 2=+quadrupole (default: ~5x less
                                           # error, measured no slower on v5e)
+    bh_far: str = "fmm"                   # far-field engine: fmm (dense
+                                          # local expansions, zero window
+                                          # gathers + exact-target annulus)
+                                          # | direct (gathered per-cell
+                                          # windows, exact target)
     bh_adapt: bool = True                 # driver self-tuning between log
                                           # windows: double bhNeighborK when
                                           # bh_overflow is logged, coarsen
@@ -175,6 +180,8 @@ class SimConfig:
                 raise ConfigError("bhNeighborK must be >= 1")
             if self.bh_order not in (1, 2):
                 raise ConfigError("bhOrder must be 1 or 2")
+            if self.bh_far not in ("fmm", "direct"):
+                raise ConfigError("bhFar must be fmm or direct")
         return self
 
 
@@ -209,6 +216,7 @@ _KEYS = {
     "bhRing": ("bh_ring", _stoi),
     "bhNeighborK": ("bh_neighbor_k", _stoi),
     "bhOrder": ("bh_order", _stoi),
+    "bhFar": ("bh_far", str),
     "bhAdapt": ("bh_adapt", _bool),
     "shards": ("shards", _stoi),
     "scene": ("scene", lambda s, k: s.strip()),

@@ -7,14 +7,27 @@ is O(N^2) per step; this model is O(N * levels).
 - **Far field**: bodies are binned into a complete quadtree (2-D) or octree
   (3-D — the model is dimension-generic) of dense per-level mass/moment grids
   over the *adaptive* bounding box of the live bodies (finest side 2^levels;
-  coarsening is 2^dim-child sum-pooling — pure XLA scatter/reshape,
-  MXU/VPU-friendly dense math, no pointer chasing). For each
-  body, at every level, the classic FMM *interaction list* — children of the
-  parent cell's ring-w neighborhood that are not within ring w of the body's
-  own cell — contributes a softened monopole force. Every region of space
-  outside the finest-level ring is accounted exactly once across levels
-  (telescoping), with opening ratio <= 1/w: ring=1 gives ~1e-2 relative force
-  error, ring=2 ~1e-3 (``bhRing``).
+  coarsening is 2^dim-child sum-pooling with parallel-axis moment shifts —
+  pure XLA scatter/reshape, no pointer chasing). The classic FMM
+  *interaction list* — children of the parent cell's ring-w neighborhood
+  that are not within ring w of the cell itself — is covered exactly once
+  across levels (telescoping). Two engines evaluate it (``bhFar``):
+
+  * ``fmm`` (default): a true uniform-grid FMM. Per level, every cell
+    accumulates a degree-3 LOCAL force expansion from its list via a
+    dense stencil (every list offset is a compile-time constant, so the
+    "gather" of a level's windows is a static slice of the padded grid
+    times a tiny per-offset coefficient matrix — zero gather ops);
+    expansions chain down the tree (L2L) and evaluate at each body's
+    offset (L2P, the far field's only gather, one row per body). Because
+    the local expansion converges slowly for the nearest list cells, the
+    lists run at ring w+1 and the leftover finest-level annulus shell
+    (w < |delta|_inf <= w+1) is evaluated with exact targets from sliced
+    cell aggregates (_annulus_force_cells). Measured accuracy at
+    ring=1/order=2: ~0.7% max relative force error — slightly better than
+    ``direct`` — at a small fraction of its cost.
+  * ``direct``: per-cell window gathers with exact target positions
+    (ring=1 gives ~1e-2 relative force error, ring=2 ~1e-3).
 - **Near field**: bodies sorted by finest-level cell id; each body interacts
   *exactly* — identical per-pair semantics to physics/pairwise.py, collision
   channels included — with up to ``bhNeighborK`` bodies in each of its
@@ -47,13 +60,15 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from nbodyax.physics.pairwise import (PairAccumulators, combine_accumulators,
                                       empty_accumulators)
 
 __all__ = ["bh_accumulators", "bh_cellrange_accumulators",
-           "auto_levels", "pick_levels", "overflow_count", "bh_health"]
+           "auto_levels", "pick_levels", "overflow_count", "bh_health",
+           "slot_cap"]
 
 _NEG_INF = jnp.float32(-jnp.inf)
 
@@ -569,7 +584,23 @@ def _near_field(i_pos, i_vel, i_mass, i_radius, i_ids,
     return jax.tree.map(lambda x: x.reshape((npad,) + x.shape[2:])[:n_i], acc)
 
 
-_CI_CAP = 32  # per-cell i slots in the fast near pass (2x target occupancy)
+_CI_CAP = 32  # floor of the per-cell i-slot budget (2x the occupancy-16
+#               tuning the fixed cap was born with; slot_cap scales it)
+
+
+def slot_cap(n: int, ncells: int) -> int:
+    """Per-cell i-slot budget for the fast per-cell passes: 2x the average
+    occupancy (the same headroom the original fixed 32 gave the occupancy-16
+    grid), sublane-aligned (multiple of 8), floored at 32.
+
+    Density-aware so coarser-than-occupancy-16 grids stay eligible: with a
+    fixed cap, occupancy-64 grids flooded the per-body completion budget
+    (bench/results_r2.json round-2 note), which blocked the levels that
+    minimize window-gather traffic — in 3-D the occupancy-16 ceil overshoots
+    to occupancy ~4 (8x slot padding), and the coarser grid needs cap ~2x64.
+    The 1024 ceiling keeps one cell chunk's slot block bounded."""
+    occ = -(-n // max(1, ncells))
+    return int(min(1024, max(_CI_CAP, 8 * -(-2 * occ // 8))))
 
 
 def _completion_cap(n: int) -> int:
@@ -857,14 +888,440 @@ def _far_force_cells(pos, mass, ext, levels, ring, eps2, order, structure,
             sidx.reshape(nchunks * B))
 
 
+# ---------------------------------------------------------------------------
+# FMM far field: local expansions instead of per-cell window gathers.
+#
+# The gathered far passes above pay ~7 ns per gathered window row (the
+# measured bottleneck: 0.21 s of the 2-D N=1M step, ~2.5 s in 3-D where the
+# window is 216 cells/level). But every interaction-list offset is a
+# compile-time constant, so the "gather" of a whole level's windows is
+# really a dense STENCIL: a static slice of the (padded) level grid per
+# offset. The classic uniform-grid FMM then removes the per-body (and even
+# per-finest-cell) level sweep entirely:
+#
+#   M2L  per level, per offset delta: every cell's window contribution to a
+#        LOCAL force expansion about its own center — one [cells, n_src]
+#        static slice x one tiny per-offset scalar matrix W[n_src, n_loc]
+#        (the kernel derivatives at u = delta * cellsize, a traced scalar
+#        per offset). Zero gathers; pure dense FMA/matmul.
+#   L2L  parent expansions shift to child centers (upsample + Taylor shift).
+#   L2P  each body evaluates its finest cell's expansion at its own offset
+#        (one [N] row gather — the only gather in the whole far field).
+#
+# Truncation: the local expansion keeps every (source offset a, target
+# offset y) Taylor term of total order <= degree (default 3), except source
+# orders > 2 (the grids carry moments only to the quadrupole, exactly like
+# the exact-target path) — so the dominant residual is the same source-
+# octupole term as the gathered engine, and measured accuracy matches it
+# (~1e-2 at ring=1, ~1e-3 at ring=2, order=2). Every block is a derivative
+# tensor of the softened potential, hence fully symmetric: rank rho stores
+# C(dim+rho-1, rho) distinct components (_fmm_layout).
+#
+# Parity bookkeeping: the interaction list at one level, for a target cell
+# with per-axis parities p, spans per-axis offsets delta in
+# [-2*ring - p, 2*ring + 1 - p] minus the all-near block (|delta| <= ring
+# on every axis). Only the extreme offsets |delta| = 2*ring + 1 are parity-
+# restricted; interior offsets apply to every cell. Near-block offsets are
+# skipped statically; out-of-grid sources vanish via zero padding (every
+# W column carries a moment factor, and u = delta * cellsize is never 0).
+# ---------------------------------------------------------------------------
+
+
+def _fmm_offsets(ring, dim):
+    """Static interaction-list offsets: per-axis range [-(2r+1), 2r+1],
+    minus the all-near block. Offsets are coordinate-order tuples
+    (delta_x, delta_y[, delta_z])."""
+    import itertools
+    w = 2 * ring + 1
+    offs = []
+    for d in itertools.product(range(-w, w + 1), repeat=dim):
+        if all(abs(x) <= ring for x in d):
+            continue                     # the near block, handled exactly
+        offs.append(d)
+    return offs
+
+
+def _sym_tuples(dim, rank):
+    """Sorted index tuples (a1 <= ... <= a_rank) of a fully symmetric
+    rank-``rank`` tensor over ``dim`` axes."""
+    import itertools
+    return list(itertools.combinations_with_replacement(range(dim), rank))
+
+
+def _fmm_layout(dim, degree):
+    """Local-expansion channel map. The expansion holds fully symmetric
+    tensor blocks of rank 1..degree+1 (force F, Jacobian J, Hessian H, ...;
+    all are derivatives of the scalar potential, hence symmetric in EVERY
+    index including the force component). Returns (n_loc, idx) where
+    idx[sorted index tuple] -> channel."""
+    idx = {}
+    off = 0
+    for rank in range(1, degree + 2):
+        for t in _sym_tuples(dim, rank):
+            idx[t] = off
+            off += 1
+    return off, idx
+
+
+def _fmm_nloc(dim, degree):
+    return _fmm_layout(dim, degree)[0]
+
+
+def _pairings(idx):
+    """All partitions of an index tuple into unordered delta-pairs plus
+    singles. Yields (pairs, singles) tuples."""
+    if not idx:
+        yield (), ()
+        return
+    first, rest = idx[0], idx[1:]
+    for pairs, singles in _pairings(rest):
+        yield pairs, (first,) + singles
+    for i in range(len(rest)):
+        for pairs, singles in _pairings(rest[:i] + rest[i + 1:]):
+            yield ((first, rest[i]),) + pairs, singles
+
+
+_DFACT = [1, 3, 15, 105, 945, 10395, 135135]    # (2t+1)!!
+
+
+def _deriv_entry(idx, ut, inv_pows, _memo):
+    """One entry of the derivative tensor of the softened force kernel
+    K(u) = u / (|u|^2 + eps^2)^{3/2}: for idx = (i, j1..jr),
+    d^r K_i / du_j1..du_jr. K is a pure gradient of the potential, so the
+    tensor is fully symmetric; entries follow the classic pairing expansion
+        sum over pairings of {idx} into q delta-pairs + s singles:
+            (-1)^t (2t+1)!!  prod(delta_pair)  prod(ut_single)  inv^{r+2},
+    t = r - q, with ut = u * inv normalized so every factor is O(1) (raw
+    r^-9 underflows f32 at field scale)."""
+    key = tuple(sorted(idx))
+    if key in _memo:
+        return _memo[key]
+    r = len(idx) - 1
+    total = None
+    for pairs, singles in _pairings(key):
+        if any(a != b for a, b in pairs):
+            continue
+        t = r - len(pairs)
+        term = float((-1.0) ** t * _DFACT[t])
+        for s in singles:
+            term = term * ut[s]
+        total = term if total is None else total + term
+    total = (0.0 if total is None else total) * inv_pows[r + 2]
+    _memo[key] = total
+    return total
+
+
+def _m2l_weights(deltas, csz, eps2, dim, order, degree):
+    """W[noff, n_src, n_loc]: per-offset scalar matrices taking a cell's
+    source moments (M, S1 about center, S2 about center) to its local
+    expansion contribution, keeping every (source a, target y) Taylor term
+    of total order <= ``degree`` except source orders > 2 (no octupole
+    moments in the grids — the same source truncation as the exact-target
+    quadrupole path). Block of rank rho, source of order sigma:
+        W += (-1)^(rho-1) (mult_A / sigma!) D[I + A]
+    with D the kernel derivative tensors (_deriv_entry). ``deltas`` is a
+    static [noff, dim] int array; ``csz`` the traced per-axis cell size;
+    order < 2 drops the S2 columns."""
+    import math
+    src = [((), 1.0)] + [((a,), 1.0) for a in range(dim)]
+    if order >= 2:
+        for (a, b) in _moment_pairs(dim):
+            mult = 1.0 if a == b else 2.0
+            src.append(((a, b), mult / 2.0))
+    n_src = 1 + dim + len(_moment_pairs(dim))   # grid channel count (fixed)
+    n_loc, lidx = _fmm_layout(dim, degree)
+    u = jnp.stack([deltas[:, d].astype(jnp.float32) * csz[d]
+                   for d in range(dim)], axis=-1)        # [noff, dim]
+    inv = lax.rsqrt(jnp.sum(u * u, axis=-1) + eps2)      # [noff]
+    ut = [u[..., d] * inv for d in range(dim)]
+    inv_pows = {p: inv ** p for p in range(2, degree + 4)}
+    memo = {}
+    noff = u.shape[0]
+    zero = jnp.zeros((noff,), jnp.float32)
+    W = [[zero for _ in range(n_loc)] for _ in range(n_src)]
+    for I, ch in lidx.items():
+        rho = len(I)
+        sign = (-1.0) ** (rho - 1)
+        for si, (A, wA) in enumerate(src):
+            if (rho - 1) + len(A) > degree:
+                continue
+            d = _deriv_entry(I + A, ut, inv_pows, memo)
+            W[si][ch] = W[si][ch] + (sign * wA) * d
+    return jnp.stack([jnp.stack(r, axis=-1) for r in W], axis=-2)
+
+
+def _m2l_level(packed, s, ext, eps2, ring, dim, order, degree):
+    """One level's M2L: local-expansion contributions [s^dim, n_loc] from
+    the level's packed source grid [s^dim, n_src] via stencil slices (flat
+    ids are row-major, x fastest). The stencil runs as ONE lax.scan over
+    the static offset list — per step: one dynamic slice of the padded
+    grid, a parity mask, and a tiny [n_src, n_loc] matmul — so the compiled
+    graph stays a single body no matter how many offsets the ring has
+    (1206 in 3-D at ring 2)."""
+    nch = packed.shape[1]
+    ncells = s ** dim
+    w = 2 * ring + 1
+    # spatial axes reversed (x is the last axis in C-order reshape)
+    spat = packed.reshape((s,) * dim + (nch,))
+    Gp = jnp.pad(spat, [(w, w)] * dim + [(0, 0)])
+    _, csz = _cell_sizes(ext, s)
+    offs = _fmm_offsets(ring, dim)
+    deltas = np.asarray(offs, np.int32)                  # [noff, dim]
+    W = _m2l_weights(jnp.asarray(deltas), csz, eps2, dim, order, degree)
+    # parity restriction only at the extreme offsets delta = +-(2r+1):
+    # delta=+w admits parity 0 only, delta=-w parity 1 only
+    allow = np.stack([deltas != -w, deltas != w], axis=-1)  # [noff, dim, 2]
+    starts = jnp.asarray(deltas + w)                     # slice starts
+    pars = [((lax.broadcasted_iota(jnp.int32, (ncells,), 0) // (s ** d)) & 1)
+            for d in range(dim)]
+
+    def body(acc, xs):
+        st, al, Wo = xs
+        sh = lax.dynamic_slice(
+            Gp, [st[dim - 1 - ax] for ax in range(dim)] + [0],
+            (s,) * dim + (nch,)).reshape(ncells, nch)
+        m = jnp.float32(1.0)
+        for d in range(dim):
+            m = m * jnp.where(pars[d] == 0, al[d, 0], al[d, 1])
+        return acc + (sh * m[:, None]) @ Wo, None
+
+    acc = jnp.zeros((ncells, _fmm_nloc(dim, degree)), jnp.float32)
+    acc, _ = lax.scan(body, acc,
+                      (starts, jnp.asarray(allow, jnp.float32), W))
+    return acc
+
+
+def _shifted_block(up, take_y, dim, degree, lidx, rank):
+    """Taylor-shift one symmetric block: for every rank-``rank`` index
+    tuple I, sum_m 1/m! B_{rank+m}[I + K] prod y_K over higher blocks.
+    ``take_y(d)`` returns the axis-d shift array. Returns columns in
+    _sym_tuples(dim, rank) order."""
+    import itertools
+    import math
+    cols = []
+    for I in _sym_tuples(dim, rank):
+        c = None
+        for m in range(0, degree + 2 - rank):
+            f = 1.0 / math.factorial(m)
+            for K in itertools.combinations_with_replacement(range(dim), m):
+                # multiplicity: distinct permutations of K
+                perms = math.factorial(m)
+                for v in set(K):
+                    perms //= math.factorial(K.count(v))
+                term = up[:, lidx[tuple(sorted(I + K))]] * (f * perms)
+                for k in K:
+                    term = term * take_y(k)
+                c = term if c is None else c + term
+        cols.append(c)
+    return cols
+
+
+def _l2l(local, sp, dim, ext, degree):
+    """Shift parent local expansions (side sp) to their 2^dim children
+    (side 2*sp): upsample, then Taylor-shift every block by the child's
+    center offset delta = (parity - 1/2) * child_cellsize."""
+    _, lidx = _fmm_layout(dim, degree)
+    s = 2 * sp
+    ncells = s ** dim
+    # upsample: parent flat (x fastest) -> child flat via [sp, 2]*dim axes
+    spat = local.reshape((sp,) * dim + (local.shape[1],))
+    up = spat
+    for ax in range(dim):
+        up = jnp.repeat(up, 2, axis=ax)
+    up = up.reshape(ncells, local.shape[1])
+    _, ccsz = _cell_sizes(ext, s)
+    iota = lax.broadcasted_iota(jnp.int32, (ncells,), 0)
+    delta = [jnp.where(((iota // (s ** d)) & 1) == 1, 0.5, -0.5) * ccsz[d]
+             for d in range(dim)]
+    cols = []
+    for rank in range(1, degree + 2):
+        cols.extend(_shifted_block(up, lambda d: delta[d], dim, degree,
+                                   lidx, rank))
+    return jnp.stack(cols, axis=1)
+
+
+def _l2p(local, pos, ext, levels, dim, degree=3):
+    """Evaluate each body's finest-cell local expansion at its own offset
+    y from the cell center. One [N] row gather — the far field's only."""
+    _, lidx = _fmm_layout(dim, degree)
+    g = 1 << levels
+    cs = _cells(pos, ext, g)
+    mins, csz = _cell_sizes(ext, g)
+    row = local[_flatten_cells(cs, g)]                    # [N, n_loc]
+    y = [pos[:, d] - (mins[d] + (cs[d].astype(jnp.float32) + 0.5) * csz[d])
+         for d in range(dim)]
+    out = _shifted_block(row, lambda d: y[d], dim, degree, lidx, 1)
+    return jnp.stack(out, axis=1)
+
+
+def _fmm_local_table(pos, mass, ext, levels, ring, eps2, order, degree=3,
+                     grids=None):
+    """The finest-level local-expansion table [2^(dim*levels), n_loc]:
+    M2L at every level (interaction lists at ring ``ring`` — the hybrid
+    caller passes bhRing + 1) chained down by L2L. Evaluate at bodies with
+    _l2p."""
+    dim = pos.shape[-1]
+    if grids is None:
+        grids = _level_grids(pos, mass, ext, levels, order=2)
+    local = None
+    for l in range(2, levels + 1):
+        s = 1 << l
+        if local is not None:
+            local = _l2l(local, s // 2, dim, ext, degree)
+        packed = jnp.stack(grids[l], axis=1)
+        contrib = _m2l_level(packed, s, ext, eps2, ring, dim, order, degree)
+        local = contrib if local is None else local + contrib
+    return local
+
+
+def _fmm_far_force(pos, mass, ext, levels, ring, eps2, order, degree=3,
+                   grids=None):
+    """Far-field force for EVERY body via dense local expansions:
+    _fmm_local_table + one [N]-row _l2p gather."""
+    local = _fmm_local_table(pos, mass, ext, levels, ring, eps2, order,
+                             degree, grids)
+    return _l2p(local, pos, ext, levels, pos.shape[-1], degree)
+
+
+
+
+def _annulus_offsets(w_near, w_far, dim):
+    """Static offsets of the finest-level mid shell:
+    w_near < |delta|_inf <= w_far."""
+    import itertools
+    offs = []
+    for d in itertools.product(range(-w_far, w_far + 1), repeat=dim):
+        if all(abs(x) <= w_near for x in d):
+            continue
+        offs.append(d)
+    return offs
+
+
+def _annulus_force_cells(packed, ext, levels, w_near, w_far, eps2, order,
+                         structure, ci_cap: int = _CI_CAP,
+                         chunk: int = 8192, cell_range=None):
+    """Exact-target force from the finest-level annulus cells
+    (w_near < |delta|_inf <= w_far): the shell a local expansion would
+    evaluate at its worst opening ratio, so the hybrid FMM hands it to the
+    source-moment evaluation at each body's EXACT position instead
+    (_far_window_force: monopole/quadrupole about the source cell center).
+
+    Sources are one flat-shifted dynamic slice per offset — flat row-major
+    ids are affine in the target id at one level, so there are ZERO gathers;
+    targets are the per-cell slot positions (same slot scheme and scatter
+    protocol as the per-cell passes: returns (force[slots, dim], sidx)).
+    Out-of-grid wraps are masked per axis from the cell coordinates."""
+    dim = len(ext[0])
+    g = 1 << levels
+    ncells = g ** dim
+    order_idx, s_cell, starts, ends, sf = structure
+    n = order_idx.shape[0]
+    nch = packed.shape[1]
+    offs = _annulus_offsets(w_near, w_far, dim)
+    maxk = sum(w_far * g ** d for d in range(dim))
+    Gp = jnp.pad(packed, ((maxk, maxk), (0, 0)))
+
+    ncells_eval = ncells if cell_range is None else cell_range[1]
+    cell_base = jnp.int32(0) if cell_range is None else cell_range[0]
+    cell_chunk = max(1, min(ncells_eval, (2 * chunk) // ci_cap))
+    cell_chunk = 1 << (cell_chunk.bit_length() - 1)
+    nchunks = ncells_eval // cell_chunk
+    slots_i = lax.broadcasted_iota(jnp.int32, (1, ci_cap), 1)
+    B = cell_chunk * ci_cap
+
+    def one_chunk(c):
+        base = cell_base + c * cell_chunk
+        cid = base + lax.broadcasted_iota(jnp.int32, (cell_chunk, 1),
+                                          0).squeeze(-1)
+        coords = []
+        rem = cid
+        for _ in range(dim):                # x fastest
+            coords.append(rem % g)
+            rem = rem // g
+        st_c = starts[cid]
+        isl = st_c[:, None] + slots_i                       # [Cc, ci]
+        i_ok = isl < jnp.minimum(ends[cid], st_c + ci_cap)[:, None]
+        fi = sf[jnp.where(i_ok, isl, n)]                    # [Cc, ci, L]
+        pxs = [fi[..., d:d + 1] for d in range(dim)]
+        ii = _unpack_id(fi[..., -2], fi[..., -1])
+        sidx = jnp.where(i_ok, ii, n).reshape(B)
+        force = jnp.zeros((cell_chunk, ci_cap, dim), jnp.float32)
+
+        def off_body(f, xs):
+            kk, dl = xs             # flat shift, per-axis offsets (scan xs)
+            row = lax.dynamic_slice_in_dim(Gp, base + maxk + kk, cell_chunk)
+            ws = [coords[d] + dl[d] for d in range(dim)]
+            okc = jnp.bool_(True)
+            for d in range(dim):
+                okc = okc & (ws[d] >= 0) & (ws[d] < g)
+            fo = _far_window_force(pxs, [w[:, None, None] for w in ws],
+                                   okc[:, None, None], row[:, None, None, :],
+                                   ext, g, eps2, order)
+            return (f + jnp.stack([fa.squeeze(-1) for fa in fo], axis=-1),
+                    None)
+
+        dl_arr = jnp.asarray(np.asarray(offs, np.int32))
+        kk_arr = jnp.asarray([sum(o[d] * g ** d for d in range(dim))
+                              for o in offs], dtype=jnp.int32)
+        force, _ = lax.scan(off_body, force, (kk_arr, dl_arr))
+        return force.reshape(B, dim), sidx
+
+    if nchunks == 1:
+        force, sidx = one_chunk(jnp.int32(0))
+        force, sidx = force[None], sidx[None]
+    else:
+        force, sidx = lax.map(one_chunk, jnp.arange(nchunks))
+    return (force.reshape(nchunks * B, dim), sidx.reshape(nchunks * B))
+
+
+def _annulus_force_bodies(i_pos, packed, ext, levels, w_near, w_far, eps2,
+                          order):
+    """Per-body annulus force for a small body subset (the crowded-cell
+    completion list): gathers the few shell source rows per body."""
+    dim = i_pos.shape[-1]
+    g = 1 << levels
+    ncells = g ** dim
+    offs = _annulus_offsets(w_near, w_far, dim)
+    cs = _cells(i_pos, ext, g)
+    flat = _flatten_cells(cs, g)
+    nb = i_pos.shape[0]
+    pxs = [i_pos[:, d:d + 1] for d in range(dim)]
+
+    def off_body(f, xs):
+        kk, dl = xs             # one scan body for the whole shell
+        ws = [cs[d] + dl[d] for d in range(dim)]
+        okc = jnp.bool_(True)
+        for d in range(dim):
+            okc = okc & (ws[d] >= 0) & (ws[d] < g)
+        row = packed[jnp.clip(flat + kk, 0, ncells - 1)]    # [nb, ch]
+        fo = _far_window_force(pxs, [w[:, None] for w in ws],
+                               okc[:, None], row[:, None, :],
+                               ext, g, eps2, order)
+        return f + jnp.stack([fa.squeeze(-1) for fa in fo], axis=-1), None
+
+    dl_arr = jnp.asarray(np.asarray(offs, np.int32))
+    kk_arr = jnp.asarray([sum(o[d] * g ** d for d in range(dim))
+                          for o in offs], dtype=jnp.int32)
+    force, _ = lax.scan(off_body, jnp.zeros((nb, dim), jnp.float32),
+                        (kk_arr, dl_arr))
+    return force
+
+
+
 def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
                    levels, ring, neighbor_k, order, chunk,
-                   shard=None, nshards: int = 1) -> PairAccumulators:
+                   shard=None, nshards: int = 1,
+                   ci_cap: int = 0, far: str = "fmm") -> PairAccumulators:
     """Near+far per-cell evaluation over the full body set (or, with
     ``shard``/``nshards``, over one contiguous 1/nshards cell slice plus
     1/nshards of the completion list — every body's accumulators are then
     computed entirely by the one shard owning its finest cell, and bodies
-    outside the slice keep identity accumulators)."""
+    outside the slice keep identity accumulators).
+
+    ``far``: "fmm" (default) evaluates the far field with dense local
+    expansions (_fmm_far_force — zero window gathers, exact per-body
+    coverage with no slot caps); "direct" keeps the gathered per-cell
+    window pass + per-body completion (_far_force_cells/_far_force)."""
     pos, vel, mass, radius = map(jnp.asarray, (pos, vel, mass, radius))
     n = pos.shape[0]
     dim = pos.shape[-1]
@@ -876,6 +1333,7 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
                                    mode == "elastic")
     order_idx, s_cell, starts, _, _ = structure
     c = min(chunk, n)
+    cap = ci_cap or slot_cap(n, ncells)
 
     if nshards > 1:
         if ncells % nshards:
@@ -891,62 +1349,113 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
 
     near = _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
                              jnp.float32(growth_rate), mode, neighbor_k,
-                             chunk=c, _structure=structure,
+                             ci_cap=cap, chunk=c, _structure=structure,
                              cell_range=cell_range, comp_range=comp_range)
 
-    # far field: fast per-cell pass + per-body completion over the same
-    # crowded-cell overflow set the near pass finishes
-    fslots, fsidx = _far_force_cells(pos, mass, ext, levels, ring, eps2,
-                                     order, structure, chunk=c,
-                                     cell_range=cell_range)
-    far = jnp.zeros((n + 1, dim), jnp.float32).at[fsidx].set(fslots)
-    srank = (jnp.arange(n, dtype=jnp.int32)
-             - starts[jnp.clip(s_cell, 0, ncells - 1)])
-    over = (srank >= _CI_CAP) & (s_cell < ncells)
-    ps = _completion_slice(over, n, comp_range)
+    if far == "fmm":
+        # Hybrid FMM: local expansions with interaction lists at ring+1
+        # (good opening ratio -> ~1e-3 truncation there), plus the
+        # exact-target annulus pass for the ring < |delta|_inf <= ring+1
+        # finest-level shell (always quadrupole) — together the same
+        # accuracy class as the gathered "direct" engine at this ring,
+        # with zero window gathers.
+        grids = _level_grids(pos, mass, ext, levels, order=2)
+        packed_finest = jnp.stack(grids[levels], axis=1)
+        local_tab = _fmm_local_table(pos, mass, ext, levels, ring + 1, eps2,
+                                     order, grids=grids)
+        far_all = _l2p(local_tab, pos, ext, levels, dim)
+        # crowded-cell overflow bodies (beyond their cell's fast-pass
+        # slots) take their WHOLE far field — L2P and annulus — from the
+        # completion pass below, so each body is touched by exactly one
+        # shard: the owner of its finest cell for slot bodies, the owner
+        # of its completion slice for overflow bodies (the invariant the
+        # sharded psum_scatter merge is tested against)
+        srank = (jnp.arange(n, dtype=jnp.int32)
+                 - starts[jnp.clip(s_cell, 0, ncells - 1)])
+        over = (srank >= cap) & (s_cell < ncells)
+        over_body = jnp.zeros((n,), bool).at[order_idx].set(over)
+        keep = alive & ~over_body
+        if cell_range is not None:
+            # dead bodies sit in the out-of-grid bucket ncells, outside
+            # every shard's cell range
+            cell = jnp.where(alive,
+                             _flatten_cells(_cells(pos, ext, g), g), ncells)
+            keep = keep & (cell >= cell_range[0]) & (cell < cell_range[0]
+                                                     + cell_range[1])
+        far_all = jnp.where(keep[:, None], far_all, 0.0)
+        aslots, asidx = _annulus_force_cells(
+            packed_finest, ext, levels, ring, ring + 1, eps2, 2,
+            structure, ci_cap=cap, chunk=c, cell_range=cell_range)
+        ann = jnp.zeros((n + 1, dim), jnp.float32).at[asidx].set(aslots)
+        ps = _completion_slice(over, n, comp_range)
 
-    def run_far_completion(far, psx):
-        gi = order_idx[jnp.clip(psx, 0, n - 1)]
-        osidx = jnp.where(psx < n, gi, n)
-        far_over = _far_force(pos[gi], pos, mass, ext, levels, ring, eps2,
-                              min(psx.shape[0], c), order)
-        return far.at[osidx].set(far_over)
+        def run_ann_completion(av, psx):
+            gi = order_idx[jnp.clip(psx, 0, n - 1)]
+            osidx = jnp.where(psx < n, gi, n)
+            af = (_annulus_force_bodies(pos[gi], packed_finest, ext, levels,
+                                        ring, ring + 1, eps2, 2)
+                  + _l2p(local_tab, pos[gi], ext, levels, dim))
+            return av.at[osidx].set(af)
 
-    # same tiered static-budget elision as the near completion (_tiered)
-    far = _tiered(ps, n, run_far_completion, far)[:n]
+        ann = _tiered(ps, n, run_ann_completion, ann)[:n]
+        far_v = far_all + ann
+    else:
+        # "direct": gathered per-cell window pass + per-body completion
+        fslots, fsidx = _far_force_cells(pos, mass, ext, levels, ring, eps2,
+                                         order, structure, ci_cap=cap,
+                                         chunk=c, cell_range=cell_range)
+        far_v = jnp.zeros((n + 1, dim), jnp.float32).at[fsidx].set(fslots)
+        srank = (jnp.arange(n, dtype=jnp.int32)
+                 - starts[jnp.clip(s_cell, 0, ncells - 1)])
+        over = (srank >= cap) & (s_cell < ncells)
+        ps = _completion_slice(over, n, comp_range)
+
+        def run_far_completion(fv, psx):
+            gi = order_idx[jnp.clip(psx, 0, n - 1)]
+            osidx = jnp.where(psx < n, gi, n)
+            far_over = _far_force(pos[gi], pos, mass, ext, levels, ring,
+                                  eps2, min(psx.shape[0], c), order)
+            return fv.at[osidx].set(far_over)
+
+        # same tiered static-budget elision as the near completion (_tiered)
+        far_v = _tiered(ps, n, run_far_completion, far_v)[:n]
 
     ids = jnp.arange(n, dtype=jnp.int32)
     far_acc = empty_accumulators(ids, dim=dim)._replace(
-        force=jnp.where(alive[:, None], far, 0.0))
+        force=jnp.where(alive[:, None], far_v, 0.0))
     return combine_accumulators(near, far_acc)
 
 
 def bh_accumulators(pos, vel, mass, radius, *, eps: float = 0.0,
                     growth_rate: float = 0.1, mode: str = "reference",
                     levels: int = 0, ring: int = 1, neighbor_k: int = 64,
-                    order: int = 2, chunk: int = 8192) -> PairAccumulators:
+                    order: int = 2, chunk: int = 8192,
+                    ci_cap: int = 0, far: str = "fmm") -> PairAccumulators:
     """Drop-in accum_fn (same interface as pair_accumulators): approximate
     far-field force + exact near-field force/collision accumulators.
 
-    Both fields run as per-CELL passes (shared window gathers, the measured
-    bottleneck) over each cell's first _CI_CAP sorted bodies, with a shared
-    per-body completion pass for the (rare, _completion_cap-bounded) bodies
-    beyond that."""
+    The near field runs as a per-CELL pass (shared window gathers) over
+    each cell's first slot_cap(n, cells) sorted bodies (2x the average
+    occupancy, floor 32), with a per-body completion pass for the (rare,
+    _completion_cap-bounded) bodies beyond that. The far field uses the
+    ``far`` engine (module docstring): "fmm" (default, dense local
+    expansions + exact-target annulus, zero window gathers) or "direct"
+    (gathered per-cell windows)."""
     dim = pos.shape[-1]
     levels = levels or auto_levels(pos.shape[0], dim=dim)
     return _bh_cells_eval(pos, vel, mass, radius,
                           eps2=jnp.float32(eps) ** 2,
                           growth_rate=growth_rate, mode=mode, levels=levels,
                           ring=ring, neighbor_k=neighbor_k, order=order,
-                          chunk=chunk)
+                          chunk=chunk, ci_cap=ci_cap, far=far)
 
 
 def bh_cellrange_accumulators(pos, vel, mass, radius, shard, nshards: int, *,
                               eps: float = 0.0, growth_rate: float = 0.1,
                               mode: str = "reference", levels: int = 0,
                               ring: int = 1, neighbor_k: int = 64,
-                              order: int = 2,
-                              chunk: int = 8192) -> PairAccumulators:
+                              order: int = 2, chunk: int = 8192,
+                              far: str = "fmm") -> PairAccumulators:
     """One cell-range shard's contribution to the global accumulators.
 
     Full-length [n] accumulators holding real values only for bodies whose
@@ -962,7 +1471,7 @@ def bh_cellrange_accumulators(pos, vel, mass, radius, shard, nshards: int, *,
                           eps2=jnp.float32(eps) ** 2,
                           growth_rate=growth_rate, mode=mode, levels=levels,
                           ring=ring, neighbor_k=neighbor_k, order=order,
-                          chunk=chunk, shard=shard, nshards=nshards)
+                          chunk=chunk, shard=shard, nshards=nshards, far=far)
 
 
 @partial(jax.jit, static_argnames=("levels", "neighbor_k", "ring"))
@@ -976,8 +1485,9 @@ def overflow_count(pos, mass, *, levels: int = 0, neighbor_k: int = 64,
        is). The near field gathers one window per row of (2*ring+1)
        consecutive cells, capped at ``neighbor_k``; this counts the total
        excess over all such rows.
-    2. completion-budget overflow: bodies beyond both their cell's _CI_CAP
-       fast-pass slots and the _completion_cap(n) per-body completion budget
+    2. completion-budget overflow: bodies beyond both their cell's
+       slot_cap(n, cells) fast-pass slots and the _completion_cap(n)
+       per-body completion budget
        (those get NO near field — and no far field — of their own).
 
     0 means the near field is exact for the current distribution."""
@@ -995,7 +1505,7 @@ def overflow_count(pos, mass, *, levels: int = 0, neighbor_k: int = 64,
     occp = jnp.pad(occg, [(0, 0)] * (dim - 1) + [(ring, ring)])
     row = sum(occp[..., d:d + g] for d in range(2 * ring + 1))
     row_over = jnp.sum(jnp.maximum(row - neighbor_k, 0))
-    i_over = jnp.sum(jnp.maximum(occ[:-1] - _CI_CAP, 0))
+    i_over = jnp.sum(jnp.maximum(occ[:-1] - slot_cap(n, g ** dim), 0))
     dropped = jnp.maximum(i_over - _completion_cap(n), 0)
     return row_over + dropped
 

@@ -89,7 +89,8 @@ def make_sharded_bh_step(cfg: SimConfig,
                 g(lp), g(lv), g(lm), g(lr), me, nshards,
                 eps=p.eps, growth_rate=p.growth_rate, mode=p.collision_mode,
                 levels=cfg.bh_levels, ring=cfg.bh_ring,
-                neighbor_k=cfg.bh_neighbor_k, order=cfg.bh_order)
+                neighbor_k=cfg.bh_neighbor_k, order=cfg.bh_order,
+                far=getattr(cfg, "bh_far", "fmm"))
             sc = lambda x: lax.psum_scatter(x, AXIS, scatter_dimension=0,
                                             tiled=True)
             i_loc = me * n_local + jnp.arange(n_local, dtype=jnp.int32)

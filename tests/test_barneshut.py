@@ -114,18 +114,45 @@ def test_auto_levels():
     assert auto_levels(100_000_000) == 10  # capped
 
 
+def test_slot_cap_density_aware():
+    """2x average occupancy, multiple of 8, floored at 32: coarse grids get
+    proportionally more fast-pass slots instead of flooding the completion
+    budget (the failure that blocked occupancy-64 grids in round 2)."""
+    from nbodyax.physics.barneshut import slot_cap
+    assert slot_cap(1 << 20, 1 << 16) == 32        # occupancy 16 (2-D auto)
+    assert slot_cap(1 << 20, 1 << 18) == 32        # occupancy 4 (3-D ceil)
+    assert slot_cap(1 << 20, 1 << 15) == 64        # occupancy 32
+    assert slot_cap(1 << 20, 1 << 14) == 128       # occupancy 64
+    assert slot_cap(100, 64) == 32                 # tiny: floor
+    assert slot_cap(1 << 24, 16) == 1024           # ceiling
+    # always sublane-aligned and >= 2x occupancy (until the ceiling)
+    for n, c in [(1000, 30), (5000, 12), (12345, 67)]:
+        cap = slot_cap(n, c)
+        assert cap % 8 == 0 and (cap >= 2 * (n // c) or cap == 1024)
+
+
 def test_quadrupole_improves_far_field():
-    """bhOrder=2 at ring=1 beats monopole by ~an order of magnitude."""
+    """bhOrder=2 at ring=1 beats monopole by ~an order of magnitude on the
+    gathered ("direct") engine, where the order applies to every far cell.
+    On the hybrid FMM engine the exact-target annulus shell is always
+    quadrupole, so order=1 is already much better there — assert the
+    absolute bars instead, including that fmm beats direct at the same
+    (ring, order)."""
     pos, vel, mass, radius = random_state(2048, seed=7)
     ex = pair_accumulators(pos, vel, mass, radius, eps=50.0, mode="none")
-    mono = bh_accumulators(pos, vel, mass, radius, eps=50.0, mode="none",
-                           ring=1, levels=4, neighbor_k=64, order=1)
-    quad = bh_accumulators(pos, vel, mass, radius, eps=50.0, mode="none",
-                           ring=1, levels=4, neighbor_k=64, order=2)
+    kw = dict(eps=50.0, mode="none", ring=1, levels=4, neighbor_k=64)
+    mono = bh_accumulators(pos, vel, mass, radius, order=1, far="direct",
+                           **kw)
+    quad = bh_accumulators(pos, vel, mass, radius, order=2, far="direct",
+                           **kw)
     err_m = rel_force_err(mono, ex)
     err_q = rel_force_err(quad, ex)
     assert err_q < err_m / 3
     assert err_q < 0.01
+    fmm_q = bh_accumulators(pos, vel, mass, radius, order=2, far="fmm", **kw)
+    err_f = rel_force_err(fmm_q, ex)
+    assert err_f < 0.01
+    assert err_f < err_q * 1.25      # hybrid at least matches direct
 
 
 def test_quadrupole_field_scale_no_overflow():
@@ -139,12 +166,42 @@ def test_quadrupole_field_scale_no_overflow():
     mass = rng.uniform(1e4, 1e17, n).astype(np.float32)
     radius = rng.uniform(50, 200, n).astype(np.float32)
     ex = pair_accumulators(pos, vel, mass, radius, eps=100.0, mode="none")
-    mono = bh_accumulators(pos, vel, mass, radius, eps=100.0, mode="none",
-                           ring=1, levels=5, neighbor_k=64, order=1)
-    quad = bh_accumulators(pos, vel, mass, radius, eps=100.0, mode="none",
-                           ring=1, levels=5, neighbor_k=64, order=2)
+    kw = dict(eps=100.0, mode="none", ring=1, levels=5, neighbor_k=64)
+    mono = bh_accumulators(pos, vel, mass, radius, order=1, far="direct",
+                           **kw)
+    quad = bh_accumulators(pos, vel, mass, radius, order=2, far="direct",
+                           **kw)
     assert np.isfinite(np.asarray(quad.force)).all()
     assert rel_force_err(quad, ex) < rel_force_err(mono, ex) / 2
+    # the hybrid FMM normalizes its kernel tensors (ut = u * inv), so the
+    # same field scale must stay finite and in the same accuracy class
+    fmm = bh_accumulators(pos, vel, mass, radius, order=2, far="fmm", **kw)
+    assert np.isfinite(np.asarray(fmm.force)).all()
+    assert rel_force_err(fmm, ex) < 0.03
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_fmm_and_direct_far_engines_agree(dim):
+    """The hybrid FMM far engine (dense local expansions + exact-target
+    annulus) and the gathered direct engine approximate the SAME telescoped
+    interaction lists: they must agree to the truncation class, and each
+    must land within 1.5% of the exact force at ring=1/order=2."""
+    rng = np.random.RandomState(11)
+    n = 1024
+    pos = rng.uniform(-8000, 8000, (n, dim)).astype(np.float32)
+    vel = rng.uniform(-3, 3, (n, dim)).astype(np.float32)
+    mass = rng.uniform(1, 100, n).astype(np.float32)
+    mass[7] = 0.0
+    radius = rng.uniform(1, 8, n).astype(np.float32)
+    kw = dict(eps=50.0, mode="none", ring=1, levels=3, neighbor_k=128,
+              order=2)
+    fmm = bh_accumulators(pos, vel, mass, radius, far="fmm", **kw)
+    direct = bh_accumulators(pos, vel, mass, radius, far="direct", **kw)
+    ex = pair_accumulators(pos, vel, mass, radius, eps=50.0, mode="none")
+    assert rel_force_err(fmm, ex) < 0.015
+    assert rel_force_err(direct, ex) < 0.015
+    assert rel_force_err(fmm, direct) < 0.02
+    assert np.all(np.asarray(fmm.force)[7] == 0)       # dead body inert
 
 
 def test_bh_momentum_drift_bounded_long_run():
@@ -191,9 +248,11 @@ def test_bh_momentum_drift_bounded_long_run():
 
 
 @pytest.mark.parametrize("mode", ["reference", "momentum", "elastic"])
-def test_percell_near_matches_perbody(mode):
+@pytest.mark.parametrize("ci_cap", [32, 64])
+def test_percell_near_matches_perbody(mode, ci_cap):
     """The per-cell fast near pass (shared window gathers) must reproduce the
-    per-body pass exactly — same windows, same K cap, same pair math."""
+    per-body pass exactly — same windows, same K cap, same pair math — at the
+    floor slot cap and at a density-scaled (>32) one."""
     import jax.numpy as jnp
     from nbodyax.physics.barneshut import (_extent, _near_field,
                                            _near_field_cells)
@@ -204,7 +263,7 @@ def test_percell_near_matches_perbody(mode):
     ext = _extent(jnp.asarray(pos), jnp.asarray(mass) > 0)
     ids = jnp.arange(1024, dtype=jnp.int32)
     args = (ext, levels, ring, jnp.float32(100.0), jnp.float32(0.1), mode, k)
-    a = _near_field_cells(pos, vel, mass, radius, *args)
+    a = _near_field_cells(pos, vel, mass, radius, *args, ci_cap=ci_cap)
     b = _near_field(pos, vel, mass, radius, ids,
                     pos, vel, mass, radius, *args, 1024)
     for name in ("force", "gained_mass", "gained_radius", "dv"):
