@@ -17,7 +17,8 @@ def main(argv=None) -> int:
     ap.add_argument("--n", type=int, default=1_048_576)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--levels", type=int, default=0)
-    ap.add_argument("--k", type=int, default=32)
+    ap.add_argument("--k", type=int, default=32,
+                    help="near row cap (0 = auto_neighbor_k)")
     ap.add_argument("--ring", type=int, default=1)
     ap.add_argument("--order", type=int, default=2)
     ap.add_argument("--dim", type=int, default=2, choices=(2, 3))
@@ -40,6 +41,9 @@ def main(argv=None) -> int:
 
     n = args.n
     levels = args.levels or auto_levels(n, dim=args.dim)
+    if not args.k:
+        from nbodyax.physics.barneshut import auto_neighbor_k
+        args.k = auto_neighbor_k(n, levels, args.ring, args.dim)
     cfg = SimConfig(particle_count=n, collision_mode="reference",
                     force_model="bh", softening=100.0, bh_levels=levels,
                     bh_neighbor_k=args.k, bh_ring=args.ring,

@@ -101,8 +101,10 @@ class SimConfig:
     bh_levels: int = 0                    # finest quadtree level (0 = auto)
     bh_ring: int = 1                      # near-window ring; 2 = ~10x better
                                           # far-field accuracy, more near work
-    bh_neighbor_k: int = 64               # near-field partners kept per
+    bh_neighbor_k: int = 0                # near-field partners kept per
                                           # window ROW of 2*bhRing+1 cells
+                                          # (0 = auto: ~1.33x the average
+                                          # row population at the grid)
     bh_order: int = 2                     # far-field expansion: 1=monopole,
                                           # 2=+quadrupole (default: ~5x less
                                           # error, measured no slower on v5e)
@@ -176,8 +178,8 @@ class SimConfig:
             if self.bh_levels != 0 and not 2 <= self.bh_levels <= max_lv:
                 raise ConfigError(
                     f"bhLevels must be 0 (auto) or in [2, {max_lv}]")
-            if self.bh_neighbor_k < 1:
-                raise ConfigError("bhNeighborK must be >= 1")
+            if self.bh_neighbor_k < 0:
+                raise ConfigError("bhNeighborK must be >= 0 (0 = auto)")
             if self.bh_order not in (1, 2):
                 raise ConfigError("bhOrder must be 1 or 2")
             if self.bh_far not in ("fmm", "direct"):

@@ -74,6 +74,16 @@ def build_step(cfg: SimConfig, capacity: int = 0,
             print(f"bhLevels auto-selected: {cfg.bh_levels}")
     p = PhysicsParams.from_config(cfg)
     capacity = capacity or cfg.particle_count
+    if (cfg.force_model == "bh" and cfg.bh_neighbor_k == 0
+            and cfg.bh_levels > 0):
+        # concrete K in cfg so bhAdapt's doubling and the health probe see
+        # the resolved value (0 = auto stays only when levels are auto too,
+        # in which case the accumulators resolve both internally)
+        import dataclasses
+
+        from nbodyax.physics.barneshut import auto_neighbor_k
+        cfg = dataclasses.replace(cfg, bh_neighbor_k=auto_neighbor_k(
+            capacity, cfg.bh_levels, cfg.bh_ring, cfg.dimensions))
     if cfg.shards > 1:
         # leapfrog's KDK runs two full ring passes inside the one dispatch
         passes = 2 if cfg.integrator == "leapfrog" else 1
@@ -173,6 +183,14 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
             ring=cfg.bh_ring))
         if not quiet:
             print(f"bhLevels auto-selected: {cfg.bh_levels}")
+    if cfg.force_model == "bh" and cfg.bh_neighbor_k == 0:
+        # concrete K so bhAdapt doubling / the health probe see it
+        from dataclasses import replace as _dc_replace
+        from nbodyax.physics.barneshut import auto_neighbor_k
+        cfg = _dc_replace(cfg, bh_neighbor_k=auto_neighbor_k(
+            state.capacity, cfg.bh_levels, cfg.bh_ring, cfg.dimensions))
+        if not quiet:
+            print(f"bhNeighborK auto-selected: {cfg.bh_neighbor_k}")
 
     step = build_step(cfg, capacity=state.capacity)
     meter = StepMeter(capacity=state.capacity)

@@ -67,13 +67,13 @@ from nbodyax.physics.pairwise import (PairAccumulators, combine_accumulators,
                                       empty_accumulators)
 
 __all__ = ["bh_accumulators", "bh_cellrange_accumulators",
-           "auto_levels", "pick_levels", "overflow_count", "bh_health",
-           "slot_cap"]
+           "auto_levels", "auto_neighbor_k", "pick_levels",
+           "overflow_count", "bh_health", "slot_cap"]
 
 _NEG_INF = jnp.float32(-jnp.inf)
 
 
-def auto_levels(n: int, target_occupancy: int = 16,
+def auto_levels(n: int, target_occupancy: int = 0,
                 max_levels: int = 10, dim: int = 2) -> int:
     """Finest level so average occupancy ~= target (grid side 2^levels,
     2^(dim*levels) cells: a quadtree in 2-D, an octree in 3-D).
@@ -88,11 +88,28 @@ def auto_levels(n: int, target_occupancy: int = 16,
     finest dense grid stays well under VMEM/HBM budgets (2^(3*7) = 2M cells)."""
     if dim == 3:
         max_levels = min(max_levels, 7)
+    if not target_occupancy:
+        # 2-D: 16 (v5e sweep). 3-D: 32 — the octree ceil overshoots hard
+        # (ceil log8 of the occupancy-16 cell count lands at occupancy ~4,
+        # 8x slot padding and 8x more far-stencil cells); with the
+        # density-aware slot cap and auto_neighbor_k the occupancy-32
+        # grid measured 3x faster at N=1M (bench/bh_profile, 2026-08)
+        target_occupancy = 32 if dim == 3 else 16
     cells = max(4, n // max(1, target_occupancy))
     return max(2, min(max_levels, math.ceil(math.log(cells, 2 ** dim))))
 
 
-def pick_levels(pos, mass, *, neighbor_k: int = 64, ring: int = 1,
+def auto_neighbor_k(n: int, levels: int, ring: int = 1,
+                    dim: int = 2) -> int:
+    """Near-window row cap matched to the grid: ~1.33x the average row
+    population ((2*ring+1) cells x occupancy), sublane-aligned, floored at
+    the v5e-tuned occupancy-16 default of 64."""
+    occ = max(1, -(-n // (1 << (dim * levels))))
+    want = (2 * ring + 1) * occ * 4 // 3
+    return int(max(64, 8 * -(-want // 8)))
+
+
+def pick_levels(pos, mass, *, neighbor_k: int = 0, ring: int = 1,
                 max_levels: int = 10, tolerance: float = 0.01) -> int:
     """Density-aware finest-level choice from an actual state.
 
@@ -110,7 +127,8 @@ def pick_levels(pos, mass, *, neighbor_k: int = 64, ring: int = 1,
     lv = auto_levels(n, max_levels=max_levels, dim=dim)
     cap = min(max_levels, 7) if dim == 3 else max_levels
     while lv < cap:
-        ov = int(overflow_count(pos, mass, levels=lv, neighbor_k=neighbor_k,
+        k = neighbor_k or auto_neighbor_k(n, lv, ring, dim)
+        ov = int(overflow_count(pos, mass, levels=lv, neighbor_k=k,
                                 ring=ring))
         if ov <= n * tolerance:
             break
@@ -1075,19 +1093,37 @@ def _m2l_level(packed, s, ext, eps2, ring, dim, order, degree):
     pars = [((lax.broadcasted_iota(jnp.int32, (ncells,), 0) // (s ** d)) & 1)
             for d in range(dim)]
 
-    def body(acc, xs):
-        st, al, Wo = xs
-        sh = lax.dynamic_slice(
-            Gp, [st[dim - 1 - ax] for ax in range(dim)] + [0],
-            (s,) * dim + (nch,)).reshape(ncells, nch)
-        m = jnp.float32(1.0)
-        for d in range(dim):
-            m = m * jnp.where(pars[d] == 0, al[d, 0], al[d, 1])
-        return acc + (sh * m[:, None]) @ Wo, None
+    # group G offsets per scan step: the unrolled group amortizes per-step
+    # scan overhead (~tens of us on the TPU relay; a 96-offset 2-D sweep
+    # was overhead-bound) while the scan keeps the compiled graph small
+    # for the big 3-D stencils (1206 offsets at ring 2). Zero-weight
+    # dummies pad the tail group.
+    G = 8
+    noff = len(offs)
+    npad = -(-noff // G) * G
+    allow_f = np.concatenate([np.asarray(allow, np.float32),
+                              np.ones((npad - noff, dim, 2), np.float32)])
+    starts_p = jnp.concatenate(
+        [starts, jnp.full((npad - noff, dim), w, jnp.int32)])
+    W_p = jnp.concatenate(
+        [W, jnp.zeros((npad - noff,) + W.shape[1:], W.dtype)])
 
+    def body(acc, xs):
+        st, al, Wo = xs                  # [G, ...] per-group slices
+        for o in range(G):
+            sh = lax.dynamic_slice(
+                Gp, [st[o, dim - 1 - ax] for ax in range(dim)] + [0],
+                (s,) * dim + (nch,)).reshape(ncells, nch)
+            m = jnp.float32(1.0)
+            for d in range(dim):
+                m = m * jnp.where(pars[d] == 0, al[o, d, 0], al[o, d, 1])
+            acc = acc + (sh * m[:, None]) @ Wo[o]
+        return acc, None
+
+    grp = lambda a: a.reshape((npad // G, G) + a.shape[1:])
     acc = jnp.zeros((ncells, _fmm_nloc(dim, degree)), jnp.float32)
-    acc, _ = lax.scan(body, acc,
-                      (starts, jnp.asarray(allow, jnp.float32), W))
+    acc, _ = lax.scan(body, acc, (grp(starts_p), grp(jnp.asarray(allow_f)),
+                                  grp(W_p)))
     return acc
 
 
@@ -1185,6 +1221,9 @@ def _fmm_far_force(pos, mass, ext, levels, ring, eps2, order, degree=3,
 
 
 
+_ANN_G = 8   # annulus offsets unrolled per scan step
+
+
 def _annulus_offsets(w_near, w_far, dim):
     """Static offsets of the finest-level mid shell:
     w_near < |delta|_inf <= w_far."""
@@ -1248,22 +1287,37 @@ def _annulus_force_cells(packed, ext, levels, w_near, w_far, eps2, order,
         force = jnp.zeros((cell_chunk, ci_cap, dim), jnp.float32)
 
         def off_body(f, xs):
-            kk, dl = xs             # flat shift, per-axis offsets (scan xs)
-            row = lax.dynamic_slice_in_dim(Gp, base + maxk + kk, cell_chunk)
-            ws = [coords[d] + dl[d] for d in range(dim)]
-            okc = jnp.bool_(True)
-            for d in range(dim):
-                okc = okc & (ws[d] >= 0) & (ws[d] < g)
-            fo = _far_window_force(pxs, [w[:, None, None] for w in ws],
-                                   okc[:, None, None], row[:, None, None, :],
-                                   ext, g, eps2, order)
-            return (f + jnp.stack([fa.squeeze(-1) for fa in fo], axis=-1),
-                    None)
+            kk, dl, ok_off = xs     # per-GROUP slices (see grouping below)
+            for o in range(_ANN_G):
+                row = lax.dynamic_slice_in_dim(Gp, base + maxk + kk[o],
+                                               cell_chunk)
+                ws = [coords[d] + dl[o, d] for d in range(dim)]
+                okc = ok_off[o] > 0
+                for d in range(dim):
+                    okc = okc & (ws[d] >= 0) & (ws[d] < g)
+                fo = _far_window_force(pxs, [w[:, None, None] for w in ws],
+                                       okc[:, None, None],
+                                       row[:, None, None, :],
+                                       ext, g, eps2, order)
+                f = f + jnp.stack([fa.squeeze(-1) for fa in fo], axis=-1)
+            return f, None
 
-        dl_arr = jnp.asarray(np.asarray(offs, np.int32))
-        kk_arr = jnp.asarray([sum(o[d] * g ** d for d in range(dim))
-                              for o in offs], dtype=jnp.int32)
-        force, _ = lax.scan(off_body, force, (kk_arr, dl_arr))
+        # G offsets unrolled per scan step (amortizes per-step overhead;
+        # the scan bounds compile size for the 98-offset 3-D shell);
+        # zero-valid dummies pad the tail group
+        noff = len(offs)
+        npad = -(-noff // _ANN_G) * _ANN_G
+        dl_arr = np.zeros((npad, dim), np.int32)
+        dl_arr[:noff] = np.asarray(offs, np.int32)
+        kk_arr = np.zeros((npad,), np.int32)
+        kk_arr[:noff] = [sum(o[d] * g ** d for d in range(dim))
+                         for o in offs]
+        ok_arr = np.zeros((npad,), np.float32)
+        ok_arr[:noff] = 1.0
+        grp = lambda a: jnp.asarray(a).reshape((npad // _ANN_G, _ANN_G)
+                                               + a.shape[1:])
+        force, _ = lax.scan(off_body, force,
+                            (grp(kk_arr), grp(dl_arr), grp(ok_arr)))
         return force.reshape(B, dim), sidx
 
     if nchunks == 1:
@@ -1443,6 +1497,8 @@ def bh_accumulators(pos, vel, mass, radius, *, eps: float = 0.0,
     (gathered per-cell windows)."""
     dim = pos.shape[-1]
     levels = levels or auto_levels(pos.shape[0], dim=dim)
+    neighbor_k = neighbor_k or auto_neighbor_k(pos.shape[0], levels, ring,
+                                               dim)
     return _bh_cells_eval(pos, vel, mass, radius,
                           eps2=jnp.float32(eps) ** 2,
                           growth_rate=growth_rate, mode=mode, levels=levels,
@@ -1467,6 +1523,8 @@ def bh_cellrange_accumulators(pos, vel, mass, radius, shard, nshards: int, *,
     (see sharding/bh.py), which rides a single psum_scatter."""
     dim = pos.shape[-1]
     levels = levels or auto_levels(pos.shape[0], dim=dim)
+    neighbor_k = neighbor_k or auto_neighbor_k(pos.shape[0], levels, ring,
+                                               dim)
     return _bh_cells_eval(pos, vel, mass, radius,
                           eps2=jnp.float32(eps) ** 2,
                           growth_rate=growth_rate, mode=mode, levels=levels,
@@ -1475,7 +1533,7 @@ def bh_cellrange_accumulators(pos, vel, mass, radius, shard, nshards: int, *,
 
 
 @partial(jax.jit, static_argnames=("levels", "neighbor_k", "ring"))
-def overflow_count(pos, mass, *, levels: int = 0, neighbor_k: int = 64,
+def overflow_count(pos, mass, *, levels: int = 0, neighbor_k: int = 0,
                    ring: int = 1):
     """Diagnostic: how many live bodies are invisible to some part of the
     near field. Two terms:
@@ -1494,6 +1552,7 @@ def overflow_count(pos, mass, *, levels: int = 0, neighbor_k: int = 64,
     n = pos.shape[0]
     dim = pos.shape[-1]
     levels = levels or auto_levels(n, dim=dim)
+    neighbor_k = neighbor_k or auto_neighbor_k(n, levels, ring, dim)
     g = 1 << levels
     alive = mass > 0
     ext = _extent(pos, alive)
@@ -1511,7 +1570,7 @@ def overflow_count(pos, mass, *, levels: int = 0, neighbor_k: int = 64,
 
 
 @partial(jax.jit, static_argnames=("levels", "neighbor_k", "ring"))
-def bh_health(pos, mass, radius, *, levels: int, neighbor_k: int = 64,
+def bh_health(pos, mass, radius, *, levels: int, neighbor_k: int = 0,
               ring: int = 1):
     """One-dispatch health probe for the driver's per-log bh check:
     [overflow_count, max live radius, min bounding-box span]. The driver
