@@ -25,6 +25,7 @@ def main(argv=None) -> int:
     ap.add_argument("--cicap", type=int, default=0,
                     help="per-cell slot cap override (0 = slot_cap auto)")
     ap.add_argument("--far", default="fmm", choices=("fmm", "direct"))
+    ap.add_argument("--near", default="rows", choices=("rows", "slots"))
     ap.add_argument("--only", default="",
                     help="comma-separated probe names (default: all)")
     args = ap.parse_args(argv)
@@ -43,12 +44,12 @@ def main(argv=None) -> int:
     levels = args.levels or auto_levels(n, dim=args.dim)
     if not args.k:
         from nbodyax.physics.barneshut import auto_neighbor_k
-        args.k = auto_neighbor_k(n, levels, args.ring, args.dim)
+        args.k = auto_neighbor_k(n, levels, args.ring, args.dim, args.near)
     cfg = SimConfig(particle_count=n, collision_mode="reference",
                     force_model="bh", softening=100.0, bh_levels=levels,
                     bh_neighbor_k=args.k, bh_ring=args.ring,
                     bh_order=args.order, dimensions=args.dim,
-                    bh_far=args.far)
+                    bh_far=args.far, bh_near=args.near)
     state = init_scene(cfg, parity=False)
     pos, vel = state.pos, state.vel
     mass, radius = state.mass, state.radius
@@ -76,7 +77,7 @@ def main(argv=None) -> int:
                               growth_rate=0.1, mode="reference", levels=levels,
                               ring=args.ring, neighbor_k=args.k,
                               order=args.order, ci_cap=args.cicap,
-                              far=args.far)
+                              far=args.far, near=args.near)
         return acc.force[0, 0] + acc.gained_mass[-1]
 
     step = build_step(cfg)
@@ -114,7 +115,8 @@ def main(argv=None) -> int:
         ext = _extent(pos, mass > 0)
         acc = _near_field_cells(pos, vel, mass, radius, ext, levels,
                                 args.ring, eps2, jnp.float32(0.1),
-                                "reference", args.k, ci_cap=cap)
+                                "reference", args.k, ci_cap=cap,
+                                near=args.near)
         return acc.force[0, 0] + acc.gained_mass[-1]
 
     @jax.jit
@@ -160,7 +162,7 @@ def main(argv=None) -> int:
     only = [s for s in (args.only or "").split(",") if s]
     out = {"n": n, "levels": levels, "k": args.k, "ring": args.ring,
            "order": args.order, "dim": args.dim, "ci_cap": cap,
-           "far": args.far}
+           "far": args.far, "near": args.near}
     for name, (fn, a) in probes.items():
         if only and name not in only:
             continue

@@ -29,6 +29,14 @@ def resolve_backend(name: str) -> str:
     return name
 
 
+def _resolve_near(cfg) -> str:
+    """bhNear for an accum fn: "auto" means the caller never probed the
+    density (driver.build_step resolves it against the starting state
+    before reaching here) — fall back to the uniform-optimal rows engine."""
+    near = getattr(cfg, "bh_near", "rows")
+    return "rows" if near == "auto" else near
+
+
 def build_accum_fn(backend: str, p: PhysicsParams, cfg=None):
     """Returns accum_fn(pos, vel, mass, radius) -> PairAccumulators."""
     if cfg is not None and getattr(cfg, "force_model", "exact") == "bh":
@@ -37,7 +45,8 @@ def build_accum_fn(backend: str, p: PhysicsParams, cfg=None):
                        mode=p.collision_mode, levels=cfg.bh_levels,
                        ring=cfg.bh_ring, neighbor_k=cfg.bh_neighbor_k,
                        order=cfg.bh_order,
-                       far=getattr(cfg, "bh_far", "fmm"))
+                       far=getattr(cfg, "bh_far", "fmm"),
+                       near=_resolve_near(cfg))
     backend = resolve_backend(backend)
     if backend == "jnp":
         return partial(pair_accumulators, eps=p.eps, growth_rate=p.growth_rate,

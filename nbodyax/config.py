@@ -101,10 +101,17 @@ class SimConfig:
     bh_levels: int = 0                    # finest quadtree level (0 = auto)
     bh_ring: int = 1                      # near-window ring; 2 = ~10x better
                                           # far-field accuracy, more near work
-    bh_neighbor_k: int = 0                # near-field partners kept per
-                                          # window ROW of 2*bhRing+1 cells
-                                          # (0 = auto: ~1.33x the average
-                                          # row population at the grid)
+    bh_neighbor_k: int = 0                # near-field partner cap (0=auto);
+                                          # caps a window ROW of 2*bhRing+1
+                                          # cells (bhNear=rows) or the slots
+                                          # per window CELL (bhNear=slots)
+    bh_near: str = "auto"                 # near-field engine: rows (gathered
+                                          # per-row windows, fastest on
+                                          # near-uniform scenes) | slots
+                                          # (sliced per-cell slot grid,
+                                          # absorbs clustering without grid
+                                          # refinement) | auto (pick by
+                                          # measured overflow at startup)
     bh_order: int = 2                     # far-field expansion: 1=monopole,
                                           # 2=+quadrupole (default: ~5x less
                                           # error, measured no slower on v5e)
@@ -184,6 +191,8 @@ class SimConfig:
                 raise ConfigError("bhOrder must be 1 or 2")
             if self.bh_far not in ("fmm", "direct"):
                 raise ConfigError("bhFar must be fmm or direct")
+            if self.bh_near not in ("auto", "rows", "slots"):
+                raise ConfigError("bhNear must be auto, rows or slots")
         return self
 
 
@@ -218,7 +227,10 @@ _KEYS = {
     "bhRing": ("bh_ring", _stoi),
     "bhNeighborK": ("bh_neighbor_k", _stoi),
     "bhOrder": ("bh_order", _stoi),
-    "bhFar": ("bh_far", str),
+    # (bhFar once used bare ``str`` here, which explodes under the
+    # parser(value, key) call convention — keep the two-arg lambda form)
+    "bhFar": ("bh_far", lambda s, k: s.strip()),
+    "bhNear": ("bh_near", lambda s, k: s.strip()),
     "bhAdapt": ("bh_adapt", _bool),
     "shards": ("shards", _stoi),
     "scene": ("scene", lambda s, k: s.strip()),

@@ -63,15 +63,24 @@ def build_step(cfg: SimConfig, capacity: int = 0,
     where the scene allows, finer where clustering would overflow the
     near-field row cap). Without a state, levels fall back to the
     uniform-density ``auto_levels`` heuristic."""
-    if cfg.force_model == "bh" and cfg.bh_levels == 0 and state is not None:
+    if (cfg.force_model == "bh" and state is not None
+            and (cfg.bh_levels == 0 or cfg.bh_near == "auto")):
         import dataclasses
 
         from nbodyax.physics.barneshut import pick_levels
-        cfg = dataclasses.replace(cfg, bh_levels=pick_levels(
+        lv, near = pick_levels(
             state.pos, state.mass, neighbor_k=cfg.bh_neighbor_k,
-            ring=cfg.bh_ring))
+            ring=cfg.bh_ring, near=cfg.bh_near, levels=cfg.bh_levels)
+        cfg = dataclasses.replace(cfg, bh_near=near,
+                                  bh_levels=cfg.bh_levels or lv)
         if not quiet:
-            print(f"bhLevels auto-selected: {cfg.bh_levels}")
+            print(f"bh auto-selected: bhLevels={cfg.bh_levels} "
+                  f"bhNear={cfg.bh_near}")
+    elif cfg.force_model == "bh" and cfg.bh_near == "auto":
+        # no state to probe: assume near-uniform density (auto_levels'
+        # assumption too) — the rows engine is the uniform-optimal
+        import dataclasses
+        cfg = dataclasses.replace(cfg, bh_near="rows")
     p = PhysicsParams.from_config(cfg)
     capacity = capacity or cfg.particle_count
     if (cfg.force_model == "bh" and cfg.bh_neighbor_k == 0
@@ -83,7 +92,8 @@ def build_step(cfg: SimConfig, capacity: int = 0,
 
         from nbodyax.physics.barneshut import auto_neighbor_k
         cfg = dataclasses.replace(cfg, bh_neighbor_k=auto_neighbor_k(
-            capacity, cfg.bh_levels, cfg.bh_ring, cfg.dimensions))
+            capacity, cfg.bh_levels, cfg.bh_ring, cfg.dimensions,
+            cfg.bh_near))
     if cfg.shards > 1:
         # leapfrog's KDK runs two full ring passes inside the one dispatch
         passes = 2 if cfg.integrator == "leapfrog" else 1
@@ -172,23 +182,29 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
         mesh = make_mesh(cfg.shards)
         state = shard_state(pad_to_shards(state, cfg.shards), mesh)
 
-    if cfg.force_model == "bh" and cfg.bh_levels == 0:
-        # density-aware finest level from the actual starting state:
-        # coarse (fast) for near-uniform scenes, finer where clustering
-        # would overflow the near-field row cap (barneshut.pick_levels)
+    if cfg.force_model == "bh" and (cfg.bh_levels == 0
+                                    or cfg.bh_near == "auto"):
+        # density-aware finest level + near engine from the actual starting
+        # state: the "rows" engine at the uniform-density level for
+        # near-uniform scenes, the "slots" engine (per-cell partner caps
+        # absorb clustering) before any refinement (barneshut.pick_levels)
         from dataclasses import replace as _dc_replace
         from nbodyax.physics.barneshut import pick_levels
-        cfg = _dc_replace(cfg, bh_levels=pick_levels(
+        lv, near = pick_levels(
             state.pos, state.mass, neighbor_k=cfg.bh_neighbor_k,
-            ring=cfg.bh_ring))
+            ring=cfg.bh_ring, near=cfg.bh_near, levels=cfg.bh_levels)
+        cfg = _dc_replace(cfg, bh_near=near,
+                          bh_levels=cfg.bh_levels or lv)
         if not quiet:
-            print(f"bhLevels auto-selected: {cfg.bh_levels}")
+            print(f"bh auto-selected: bhLevels={cfg.bh_levels} "
+                  f"bhNear={cfg.bh_near}")
     if cfg.force_model == "bh" and cfg.bh_neighbor_k == 0:
         # concrete K so bhAdapt doubling / the health probe see it
         from dataclasses import replace as _dc_replace
         from nbodyax.physics.barneshut import auto_neighbor_k
         cfg = _dc_replace(cfg, bh_neighbor_k=auto_neighbor_k(
-            state.capacity, cfg.bh_levels, cfg.bh_ring, cfg.dimensions))
+            state.capacity, cfg.bh_levels, cfg.bh_ring, cfg.dimensions,
+            cfg.bh_near))
         if not quiet:
             print(f"bhNeighborK auto-selected: {cfg.bh_neighbor_k}")
 
@@ -331,7 +347,7 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                     h = np.asarray(bh_health(
                         state.pos, state.mass, state.radius,
                         levels=cfg.bh_levels, neighbor_k=cfg.bh_neighbor_k,
-                        ring=cfg.bh_ring))
+                        ring=cfg.bh_ring, near=cfg.bh_near))
                     scal["bh_overflow"] = int(h[0])
                     if cfg.bh_adapt:
                         # self-tuning between windows (bounded recompiles):

@@ -30,19 +30,27 @@ is O(N^2) per step; this model is O(N * levels).
     (ring=1 gives ~1e-2 relative force error, ring=2 ~1e-3).
 - **Near field**: bodies sorted by finest-level cell id; each body interacts
   *exactly* — identical per-pair semantics to physics/pairwise.py, collision
-  channels included — with up to ``bhNeighborK`` bodies in each of its
-  (2*ring+1) neighbor-cell ROWS (the row's cells are contiguous in sorted
-  order, so a row is one gather window; a crowded cell can use its row
-  neighbors' unused slots).
+  channels included — with its grid-neighbor bodies, capped by
+  ``bhNeighborK``. Two engines (``bhNear``, auto-selected per scene):
+
+  * ``rows``: up to K partners per (2*ring+1) neighbor-cell window ROW
+    (the row's cells are contiguous in sorted order, so a row is one
+    gather window; a crowded cell can use its row neighbors' unused
+    slots). Tight caps, fastest on near-uniform scenes.
+  * ``slots``: up to K partners per window CELL, sliced from a padded
+    per-cell slot grid (zero window gathers). Absorbs clustering the
+    shared row cap cannot — a galaxy core runs overflow-free at the
+    uniform-density grid instead of forcing refinement.
 
 Because the near field carries the full collision semantics, every collision
 mode (reference / momentum / elastic) composes with this model unchanged.
 Documented approximations:
 1. overlaps spanning beyond the near window (radius sum > ring * cell size)
    are missed — fine while radii stay below the cell size;
-2. window rows holding more than K bodies drop the excess from near-field
-   lists (``overflow_count`` reports how many — the driver logs it as
-   ``bh_overflow``; raise ``bhNeighborK`` or ``bhLevels`` if it is nonzero);
+2. window rows (``bhNear=rows``) or cells (``bhNear=slots``) holding more
+   than K bodies drop the excess from near-field lists (``overflow_count``
+   reports how many — the driver logs it as ``bh_overflow``; raise
+   ``bhNeighborK`` or ``bhLevels`` if it is nonzero);
 3. the monopole far field is not exactly antisymmetric (body A's pull from
    B's cell aggregate differs from B's pull from A's), so total momentum
    drifts at the far-field error level over long runs — standard for tree
@@ -100,40 +108,69 @@ def auto_levels(n: int, target_occupancy: int = 0,
 
 
 def auto_neighbor_k(n: int, levels: int, ring: int = 1,
-                    dim: int = 2) -> int:
-    """Near-window row cap matched to the grid: ~1.33x the average row
-    population ((2*ring+1) cells x occupancy), sublane-aligned, floored at
-    the v5e-tuned occupancy-16 default of 64."""
+                    dim: int = 2, near: str = "rows") -> int:
+    """Near-field partner cap matched to the grid, per engine:
+
+    - ``near="rows"``: K caps a whole window ROW of (2*ring+1) cells —
+      ~1.33x the average row population, floored at the v5e-tuned
+      occupancy-16 default of 64. Rows aggregate over cells, so the
+      Poisson tail is relatively tight and 1.33x covers it.
+    - ``near="slots"``: k caps the partner slots PER CELL (windows slice k
+      contiguous slot rows per neighbor cell) — ~2.5x the average cell
+      occupancy (single-cell Poisson tails are fatter; 2.5x measured
+      overflow-free on both the uniform and galaxy N=1M scenes), floor 40.
+
+    Both sublane-aligned (multiple of 8)."""
     occ = max(1, -(-n // (1 << (dim * levels))))
+    if near == "slots":
+        want = occ * 5 // 2
+        return int(max(40, 8 * -(-want // 8)))
     want = (2 * ring + 1) * occ * 4 // 3
     return int(max(64, 8 * -(-want // 8)))
 
 
 def pick_levels(pos, mass, *, neighbor_k: int = 0, ring: int = 1,
-                max_levels: int = 10, tolerance: float = 0.01) -> int:
-    """Density-aware finest-level choice from an actual state.
+                max_levels: int = 10, tolerance: float = 0.01,
+                near: str = "auto", levels: int = 0) -> tuple:
+    """Density-aware finest-level AND near-engine choice from an actual
+    state. Returns ``(levels, near)`` with ``near`` resolved to "rows" or
+    "slots".
 
     ``auto_levels`` assumes near-uniform density; clustered scenes (galaxy
-    cores) can overflow the per-row near-field cap at that occupancy. This
-    probes ``overflow_count`` on the given state and refines until the
-    overflow fraction is within ``tolerance`` — coarse (fast) where density
-    allows, fine where it doesn't. The default 1% tolerance keeps truncation
-    within the model's ring=1 far-field accuracy class (uniform scenes sit
-    at ~0.2% and stay coarse; galaxy scenes at ~10% refine one level). The
-    driver calls this once at startup when ``bhLevels=0``; the logged
-    ``bh_overflow`` metric catches later density drift."""
+    cores) can overflow the near-field partner cap at that occupancy. This
+    probes ``overflow_count`` on the given state and escalates until the
+    overflow fraction is within ``tolerance``: with ``near="auto"`` it
+    first tries the "rows" engine at the uniform-density level (fastest on
+    near-uniform scenes: tight per-row caps), then the "slots" engine at
+    the same level (per-cell caps absorb clustering the row cap can't —
+    the N=1M galaxy runs overflow-free WITHOUT refining, 2x faster than
+    the refined rows grid), and only then refines the grid. The default 1%
+    tolerance keeps truncation within the model's ring=1 far-field
+    accuracy class. The driver calls this once at startup when
+    ``bhLevels=0``; the logged ``bh_overflow`` metric catches later
+    density drift.
+
+    A nonzero ``levels`` pins the grid (no refinement): only the engine is
+    chosen, probed at that level."""
     n = pos.shape[0]
     dim = pos.shape[-1]
-    lv = auto_levels(n, max_levels=max_levels, dim=dim)
-    cap = min(max_levels, 7) if dim == 3 else max_levels
+    lv = levels or auto_levels(n, max_levels=max_levels, dim=dim)
+    cap = lv if levels else (min(max_levels, 7) if dim == 3 else max_levels)
+
+    def ov_at(lv, eng):
+        k = neighbor_k or auto_neighbor_k(n, lv, ring, dim, eng)
+        return int(overflow_count(pos, mass, levels=lv, neighbor_k=k,
+                                  ring=ring, near=eng))
+
+    if near == "auto":
+        if ov_at(lv, "rows") <= n * tolerance:
+            return lv, "rows"
+        near = "slots"
     while lv < cap:
-        k = neighbor_k or auto_neighbor_k(n, lv, ring, dim)
-        ov = int(overflow_count(pos, mass, levels=lv, neighbor_k=k,
-                                ring=ring))
-        if ov <= n * tolerance:
+        if ov_at(lv, near) <= n * tolerance:
             break
         lv += 1
-    return lv
+    return lv, near
 
 
 def _extent(pos, alive):
@@ -683,33 +720,52 @@ def _completion_slice(over, n, comp_range):
 def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
                       growth_rate, mode, k, ci_cap: int = _CI_CAP,
                       chunk: int = 8192, _structure=None,
-                      cell_range=None, comp_range=None) -> PairAccumulators:
+                      cell_range=None, comp_range=None,
+                      near: str = "rows") -> PairAccumulators:
     """Near field for the FULL body set (i side == partner set): per-CELL
-    window gathers.
+    shared windows, via one of two engines.
 
-    All bodies in one finest cell share identical neighbor-row windows, so
-    the (2*ring+1)^(dim-1) row gathers happen once per CELL instead of once
-    per body — ~occupancy x fewer gathered rows. Gathered rows are the
-    measured bottleneck of this model (v5e, N=1M, K=64: the per-body near
-    pass was 0.88 s of the 1.37 s accumulator pass at ~7 ns/row), so sharing
-    them turns the near field from the dominant cost into noise. The pair
-    math itself is identical (_gathered_pair_accum) — the j window is
-    broadcast across the cell's i slots, which XLA materializes as cheap
-    HBM-bandwidth copies, not gathers.
+    ``near="rows"`` (default): per-cell window GATHERS. All bodies in one
+    finest cell share identical neighbor-row windows, so the
+    (2*ring+1)^(dim-1) row gathers of up to ``k`` sorted rows happen once
+    per CELL instead of once per body (~occupancy x fewer gathered rows).
+    ``k`` caps a whole (2*ring+1)-cell window ROW — rows aggregate over
+    cells, so a tight cap (~1.33x the mean row population) covers the
+    Poisson tail and the pair math stays minimal. Fastest on near-uniform
+    scenes; clustered cells overflow the row cap and force grid refinement.
+
+    ``near="slots"``: window SLICES over a partner slot grid. Bodies are
+    packed once into a per-cell slot grid (each cell's first
+    max(k, ci_cap) sorted bodies; inert zero rows elsewhere) with a single
+    [ncells * slots]-row gather. Every neighbor window is then a
+    CONTIGUOUS SLICE of that grid — window cells are adjacent flat ids,
+    and a cell's slots are adjacent slot rows — so the rows engine's
+    gather stream (ncells x rows x K rows, ~7 ns each on v5e) becomes
+    dense slice traffic at HBM bandwidth. ``k`` caps the partners visible
+    PER NEIGHBOR CELL (per-row coverage is (2*ring+1)*k), which absorbs
+    clustering a shared row cap cannot: the N=1M galaxy runs
+    overflow-free at the uniform-density grid, 2x faster than the refined
+    rows grid, while uniform scenes pay ~1.9x the (cheap, fused) pair
+    math for the padding. The driver's ``bhNear=auto`` picks per scene.
+
+    The pair math is identical in both (_gathered_pair_accum); the j
+    window is broadcast across the cell's i slots, which XLA fuses.
 
     Each cell's first ``ci_cap`` sorted bodies ride the per-cell pass; the
     rest (only cells beyond 2x the target occupancy have any) are finished
     EXACTLY by the per-body pass (_near_field) over up to _completion_cap(n)
     such bodies, reusing the same sorted structure. Only past that ~10x
     headroom budget do bodies lose their near field — ``overflow_count``
-    reports them alongside the K row-cap overflow.
+    reports them alongside the partner-cap overflow.
 
     ``cell_range=(base, count)`` (traced base, static power-of-two count)
     restricts the per-cell pass to that contiguous cell slice, and
     ``comp_range=(base, length, total)`` to that slice of the global
     completion list — the cell-sharded evaluation hooks (bodies outside the
-    ranges keep identity accumulators; see bh_cellrange_accumulators).
+    ranges keep identity accumulators; see bh_cellrange_accumulators). The
+    slot grid is always GLOBAL: windows cross shard boundaries.
     """
+    use_slots = near == "slots"
     pos, vel, mass, radius = map(jnp.asarray, (pos, vel, mass, radius))
     dim = pos.shape[-1]
     n = pos.shape[0]
@@ -727,64 +783,110 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
     cell_chunk = max(1, min(ncells_eval, (2 * chunk) // ci_cap))
     cell_chunk = 1 << (cell_chunk.bit_length() - 1)   # power of 2 ...
     nchunks = ncells_eval // cell_chunk     # ... so it divides ncells_eval
-    ks = lax.broadcasted_iota(jnp.int32, (1, k), 1)
-    slots_i = lax.broadcasted_iota(jnp.int32, (1, ci_cap), 1)
     B = cell_chunk * ci_cap
+    L = sf.shape[1]
+    S = max(k, ci_cap)
+    win = 2 * ring + 1
+
+    if use_slots:
+        # the global partner slot grid (one gather; all windows slice it)
+        pslots = (starts[:, None]
+                  + lax.broadcasted_iota(jnp.int32, (ncells, S), 1))
+        p_ok = pslots < jnp.minimum(ends, starts + S)[:, None]
+        fslot = sf[jnp.where(p_ok, pslots, n)]           # [ncells, S, L]
+        padc = ring * sum(g ** d for d in range(dim))    # max window reach
+        fslot_flat = jnp.pad(fslot.reshape(ncells * S, L),
+                             ((padc * S, padc * S), (0, 0)))
+    else:
+        ks = lax.broadcasted_iota(jnp.int32, (1, k), 1)
+        slots_i = lax.broadcasted_iota(jnp.int32, (1, ci_cap), 1)
 
     def one_chunk(c):
-        cid = (cell_base + c * cell_chunk
-               + lax.broadcasted_iota(jnp.int32, (cell_chunk, 1),
-                                      0).squeeze(-1))
+        base = cell_base + c * cell_chunk
+        cid = base + lax.broadcasted_iota(jnp.int32, (cell_chunk, 1),
+                                          0).squeeze(-1)
         coords = []
         rem = cid
         for _ in range(dim):                # x fastest
             coords.append(rem % g)
             rem = rem // g
-        st_c = starts[cid]
-        # i slots: the first ci_cap sorted bodies of each cell
-        isl = st_c[:, None] + slots_i                       # [Cc, ci]
-        i_ok = isl < jnp.minimum(ends[cid], st_c + ci_cap)[:, None]
-        fi = sf[jnp.where(i_ok, isl, n)].reshape(B, -1)     # [B, L]
+        if use_slots:
+            # i slots: the first ci_cap slot rows of each cell (a slice;
+            # slots of dead/empty ranks carry the inert pad row and compute
+            # junk the body-order unsort never reads)
+            fi = lax.dynamic_slice(
+                fslot, (base, 0, 0), (cell_chunk, ci_cap, L)).reshape(B, L)
+        else:
+            st_c = starts[cid]
+            # i slots: the first ci_cap sorted bodies of each cell
+            isl = st_c[:, None] + slots_i                   # [Cc, ci]
+            i_ok = isl < jnp.minimum(ends[cid], st_c + ci_cap)[:, None]
+            fi = sf[jnp.where(i_ok, isl, n)].reshape(B, L)
         pi = fi[:, 0:dim]
         vi = fi[:, dim:2 * dim] if need_vel else jnp.zeros_like(pi)
         mi, ri = fi[:, rest], fi[:, rest + 1]
         ii = _unpack_id(fi[:, rest + 2], fi[:, rest + 3])
-        sidx = jnp.where(i_ok.reshape(B), ii, n)            # scatter target
         acc = empty_accumulators(ii, dim=dim)
-        left = jnp.maximum(coords[0] - ring, 0)
-        right = jnp.minimum(coords[0] + ring, g - 1)
+        if not use_slots:
+            left = jnp.maximum(coords[0] - ring, 0)
+            right = jnp.minimum(coords[0] + ring, g - 1)
         for off in itertools.product(range(-ring, ring + 1), repeat=dim - 1):
-            nds = [coords[1 + a] + off[a] for a in range(dim - 1)]
             ok_row = jnp.bool_(True)
-            for nd in nds:
+            for a, o in enumerate(off):
+                nd = coords[1 + a] + o
                 ok_row = ok_row & (nd >= 0) & (nd < g)
-            ndc = tuple(jnp.clip(nd, 0, g - 1) for nd in nds)
-            st = starts[_flatten_cells((left,) + ndc, g)]
-            cnt = jnp.minimum(ends[_flatten_cells((right,) + ndc, g)] - st, k)
-            ok = ok_row[:, None] & (ks < cnt[:, None])      # [Cc, k]
-            fj = sf[jnp.where(ok, st[:, None] + ks, n)]     # [Cc, k, L]
-            # expand the per-cell window across the cell's i slots
-            fjE = jnp.broadcast_to(
-                fj[:, None], (cell_chunk, ci_cap) + fj.shape[1:]
-            ).reshape(B, k, -1)
-            okE = jnp.broadcast_to(
-                ok[:, None], (cell_chunk, ci_cap, k)).reshape(B, k)
+            if use_slots:
+                koff = sum(off[a] * g ** (1 + a) for a in range(dim - 1))
+                blk = lax.dynamic_slice(
+                    fslot_flat, ((base + koff - ring + padc) * S, 0),
+                    ((cell_chunk + 2 * ring) * S, L)
+                ).reshape(cell_chunk + 2 * ring, S, L)
+                parts, oks = [], []
+                for dx in range(-ring, ring + 1):
+                    parts.append(lax.slice_in_dim(blk, dx + ring,
+                                                  dx + ring + cell_chunk))
+                    oks.append(ok_row & (coords[0] + dx >= 0)
+                               & (coords[0] + dx < g))
+                fj = jnp.stack(parts, axis=1).reshape(cell_chunk,
+                                                      win * S, L)
+                ok = jnp.stack(oks, axis=1)              # [Cc, win]
+                fjE = jnp.broadcast_to(
+                    fj[:, None], (cell_chunk, ci_cap, win * S, L)
+                ).reshape(B, win * S, L)
+                okE = jnp.broadcast_to(
+                    ok[:, None, :, None], (cell_chunk, ci_cap, win, S)
+                ).reshape(B, win * S)
+            else:
+                ndc = tuple(jnp.clip(coords[1 + a] + off[a], 0, g - 1)
+                            for a in range(dim - 1))
+                st = starts[_flatten_cells((left,) + ndc, g)]
+                cnt = jnp.minimum(
+                    ends[_flatten_cells((right,) + ndc, g)] - st, k)
+                ok = ok_row[:, None] & (ks < cnt[:, None])  # [Cc, k]
+                fj = sf[jnp.where(ok, st[:, None] + ks, n)]  # [Cc, k, L]
+                # expand the per-cell window across the cell's i slots
+                fjE = jnp.broadcast_to(
+                    fj[:, None], (cell_chunk, ci_cap) + fj.shape[1:]
+                ).reshape(B, k, L)
+                okE = jnp.broadcast_to(
+                    ok[:, None], (cell_chunk, ci_cap, k)).reshape(B, k)
             pj = fjE[..., 0:dim]
             vj = fjE[..., dim:2 * dim] if need_vel else jnp.zeros_like(pj)
-            mj, rj = fjE[..., rest], fjE[..., rest + 1]
-            jj = jnp.where(okE, _unpack_id(fjE[..., rest + 2],
-                                           fjE[..., rest + 3]), -1)
+            # masked window slots (out-of-grid cells / beyond-count rows)
+            # are neutralized by zeroing the partner mass — every pair
+            # channel carries an m_j > 0 gate
+            mj = fjE[..., rest] * okE
+            rj = fjE[..., rest + 1]
+            jj = _unpack_id(fjE[..., rest + 2], fjE[..., rest + 3])
             acc = combine_accumulators(acc, _gathered_pair_accum(
                 pi, vi, mi, ri, ii, pj, vj, mj, rj, jj,
                 eps2=eps2, growth_rate=growth_rate, mode=mode))
-        return acc, sidx
+        return acc
 
     if nchunks == 1:
-        acc, sidx = one_chunk(jnp.int32(0))
-        acc = jax.tree.map(lambda x: x[None], acc)
-        sidx = sidx[None]
+        acc = jax.tree.map(lambda x: x[None], one_chunk(jnp.int32(0)))
     else:
-        acc, sidx = lax.map(one_chunk, jnp.arange(nchunks))
+        acc = lax.map(one_chunk, jnp.arange(nchunks))
     flat = lambda x: x.reshape((nchunks * B,) + x.shape[2:])
     acc = jax.tree.map(flat, acc)
 
@@ -842,10 +944,13 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
     def run_completion(out, psx):
         gi = order[jnp.clip(psx, 0, n - 1)]  # fills -> a real body, dropped
         osidx = jnp.where(psx < n, gi, n)    # ... by scattering to row n
+        # match the fast pass's per-row coverage: rows sees k per window
+        # row; slots sees k per CELL, i.e. (2*ring+1)*k per row
+        row_k = (2 * ring + 1) * k if use_slots else k
         oacc = _near_field(pos[gi], vel[gi], mass[gi], radius[gi], gi,
                            pos, vel, mass, radius, ext, levels, ring, eps2,
-                           growth_rate, mode, k, min(psx.shape[0], chunk),
-                           _structure=structure)
+                           growth_rate, mode, row_k,
+                           min(psx.shape[0], chunk), _structure=structure)
         return PairAccumulators(*[o.at[osidx].set(s)
                                   for o, s in zip(out, oacc)])
 
@@ -1423,7 +1528,8 @@ def _annulus_force_bodies(i_pos, packed, ext, levels, w_near, w_far, eps2,
 def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
                    levels, ring, neighbor_k, order, chunk,
                    shard=None, nshards: int = 1,
-                   ci_cap: int = 0, far: str = "fmm") -> PairAccumulators:
+                   ci_cap: int = 0, far: str = "fmm",
+                   near: str = "rows") -> PairAccumulators:
     """Near+far per-cell evaluation over the full body set (or, with
     ``shard``/``nshards``, over one contiguous 1/nshards cell slice plus
     1/nshards of the completion list — every body's accumulators are then
@@ -1459,10 +1565,11 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
     else:
         cell_range = comp_range = None
 
-    near = _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
-                             jnp.float32(growth_rate), mode, neighbor_k,
-                             ci_cap=cap, chunk=c, _structure=structure,
-                             cell_range=cell_range, comp_range=comp_range)
+    near_acc = _near_field_cells(pos, vel, mass, radius, ext, levels, ring,
+                                 eps2, jnp.float32(growth_rate), mode,
+                                 neighbor_k, ci_cap=cap, chunk=c,
+                                 _structure=structure, cell_range=cell_range,
+                                 comp_range=comp_range, near=near)
 
     if far == "fmm":
         # Hybrid FMM: local expansions with interaction lists at ring+1
@@ -1543,14 +1650,15 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
     ids = jnp.arange(n, dtype=jnp.int32)
     far_acc = empty_accumulators(ids, dim=dim)._replace(
         force=jnp.where(alive[:, None], far_v, 0.0))
-    return combine_accumulators(near, far_acc)
+    return combine_accumulators(near_acc, far_acc)
 
 
 def bh_accumulators(pos, vel, mass, radius, *, eps: float = 0.0,
                     growth_rate: float = 0.1, mode: str = "reference",
                     levels: int = 0, ring: int = 1, neighbor_k: int = 64,
                     order: int = 2, chunk: int = 8192,
-                    ci_cap: int = 0, far: str = "fmm") -> PairAccumulators:
+                    ci_cap: int = 0, far: str = "fmm",
+                    near: str = "rows") -> PairAccumulators:
     """Drop-in accum_fn (same interface as pair_accumulators): approximate
     far-field force + exact near-field force/collision accumulators.
 
@@ -1564,12 +1672,12 @@ def bh_accumulators(pos, vel, mass, radius, *, eps: float = 0.0,
     dim = pos.shape[-1]
     levels = levels or auto_levels(pos.shape[0], dim=dim)
     neighbor_k = neighbor_k or auto_neighbor_k(pos.shape[0], levels, ring,
-                                               dim)
+                                               dim, near)
     return _bh_cells_eval(pos, vel, mass, radius,
                           eps2=jnp.float32(eps) ** 2,
                           growth_rate=growth_rate, mode=mode, levels=levels,
                           ring=ring, neighbor_k=neighbor_k, order=order,
-                          chunk=chunk, ci_cap=ci_cap, far=far)
+                          chunk=chunk, ci_cap=ci_cap, far=far, near=near)
 
 
 def bh_cellrange_accumulators(pos, vel, mass, radius, shard, nshards: int, *,
@@ -1577,7 +1685,8 @@ def bh_cellrange_accumulators(pos, vel, mass, radius, shard, nshards: int, *,
                               mode: str = "reference", levels: int = 0,
                               ring: int = 1, neighbor_k: int = 64,
                               order: int = 2, chunk: int = 8192,
-                              far: str = "fmm") -> PairAccumulators:
+                              far: str = "fmm",
+                              near: str = "rows") -> PairAccumulators:
     """One cell-range shard's contribution to the global accumulators.
 
     Full-length [n] accumulators holding real values only for bodies whose
@@ -1590,25 +1699,31 @@ def bh_cellrange_accumulators(pos, vel, mass, radius, shard, nshards: int, *,
     dim = pos.shape[-1]
     levels = levels or auto_levels(pos.shape[0], dim=dim)
     neighbor_k = neighbor_k or auto_neighbor_k(pos.shape[0], levels, ring,
-                                               dim)
+                                               dim, near)
     return _bh_cells_eval(pos, vel, mass, radius,
                           eps2=jnp.float32(eps) ** 2,
                           growth_rate=growth_rate, mode=mode, levels=levels,
                           ring=ring, neighbor_k=neighbor_k, order=order,
-                          chunk=chunk, shard=shard, nshards=nshards, far=far)
+                          chunk=chunk, shard=shard, nshards=nshards, far=far,
+                          near=near)
 
 
-@partial(jax.jit, static_argnames=("levels", "neighbor_k", "ring"))
+@partial(jax.jit, static_argnames=("levels", "neighbor_k", "ring", "near"))
 def overflow_count(pos, mass, *, levels: int = 0, neighbor_k: int = 0,
-                   ring: int = 1):
+                   ring: int = 1, near: str = "rows"):
     """Diagnostic: how many live bodies are invisible to some part of the
     near field. Two terms:
 
-    1. window-row K overflow: bodies beyond their row's ``neighbor_k``
-       partner slots (invisible AS PARTNERS to bodies whose window that row
-       is). The near field gathers one window per row of (2*ring+1)
-       consecutive cells, capped at ``neighbor_k``; this counts the total
-       excess over all such rows.
+    1. partner-cap overflow, per engine:
+       - ``near="rows"``: bodies beyond their window ROW's ``neighbor_k``
+         partner slots (the near field gathers one window per row of
+         (2*ring+1) consecutive cells, capped at K); counts the total
+         excess over all in-grid window rows.
+       - ``near="slots"``: bodies beyond their CELL's ``neighbor_k``
+         partner slots (windows slice ``neighbor_k`` slot rows per window
+         cell); counts the total excess over all cells.
+       Either way the excess bodies are invisible AS PARTNERS to every
+       body whose window covers them.
     2. completion-budget overflow: bodies beyond both their cell's
        slot_cap(n, cells) fast-pass slots and the _completion_cap(n)
        per-body completion budget
@@ -1618,26 +1733,29 @@ def overflow_count(pos, mass, *, levels: int = 0, neighbor_k: int = 0,
     n = pos.shape[0]
     dim = pos.shape[-1]
     levels = levels or auto_levels(n, dim=dim)
-    neighbor_k = neighbor_k or auto_neighbor_k(n, levels, ring, dim)
+    neighbor_k = neighbor_k or auto_neighbor_k(n, levels, ring, dim, near)
     g = 1 << levels
     alive = mass > 0
     ext = _extent(pos, alive)
     cell = jnp.where(alive, _flatten_cells(_cells(pos, ext, g), g), g ** dim)
     occ = jnp.zeros((g ** dim + 1,), jnp.int32).at[cell].add(1)
-    occg = occ[:-1].reshape((g,) * dim)   # row-major, x is the LAST axis
-    # window-row occupancy at each center x: sum of the (2*ring+1)
-    # consecutive cells, zero outside the grid (matches the clamped windows)
-    occp = jnp.pad(occg, [(0, 0)] * (dim - 1) + [(ring, ring)])
-    row = sum(occp[..., d:d + g] for d in range(2 * ring + 1))
-    row_over = jnp.sum(jnp.maximum(row - neighbor_k, 0))
+    if near == "slots":
+        k_over = jnp.sum(jnp.maximum(occ[:-1] - neighbor_k, 0))
+    else:
+        occg = occ[:-1].reshape((g,) * dim)  # row-major, x the LAST axis
+        # window-row occupancy at each center x: sum of the (2*ring+1)
+        # consecutive cells, zero outside the grid (matches the clamps)
+        occp = jnp.pad(occg, [(0, 0)] * (dim - 1) + [(ring, ring)])
+        row = sum(occp[..., d:d + g] for d in range(2 * ring + 1))
+        k_over = jnp.sum(jnp.maximum(row - neighbor_k, 0))
     i_over = jnp.sum(jnp.maximum(occ[:-1] - slot_cap(n, g ** dim), 0))
     dropped = jnp.maximum(i_over - _completion_cap(n), 0)
-    return row_over + dropped
+    return k_over + dropped
 
 
-@partial(jax.jit, static_argnames=("levels", "neighbor_k", "ring"))
+@partial(jax.jit, static_argnames=("levels", "neighbor_k", "ring", "near"))
 def bh_health(pos, mass, radius, *, levels: int, neighbor_k: int = 0,
-              ring: int = 1):
+              ring: int = 1, near: str = "rows"):
     """One-dispatch health probe for the driver's per-log bh check:
     [overflow_count, max live radius, min bounding-box span]. The driver
     fetches this single vector and (with ``bhAdapt``) raises bhNeighborK on
@@ -1645,7 +1763,7 @@ def bh_health(pos, mass, radius, *, levels: int, neighbor_k: int = 0,
     collision coverage (ring * min_span / 2^levels)."""
     alive = mass > 0
     ov = overflow_count(pos, mass, levels=levels, neighbor_k=neighbor_k,
-                        ring=ring)
+                        ring=ring, near=near)
     rmax = jnp.max(jnp.where(alive, radius, 0.0))
     _, spans = _extent(pos, alive)
     span_min = spans[0]

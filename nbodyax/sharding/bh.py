@@ -50,6 +50,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from nbodyax.config import SimConfig
+from nbodyax.backends import _resolve_near
 from nbodyax.physics.barneshut import bh_cellrange_accumulators
 from nbodyax.physics.collisions import resolve_collisions
 from nbodyax.physics.step import (PhysicsParams, finish_euler,
@@ -90,7 +91,8 @@ def make_sharded_bh_step(cfg: SimConfig,
                 eps=p.eps, growth_rate=p.growth_rate, mode=p.collision_mode,
                 levels=cfg.bh_levels, ring=cfg.bh_ring,
                 neighbor_k=cfg.bh_neighbor_k, order=cfg.bh_order,
-                far=getattr(cfg, "bh_far", "fmm"))
+                far=getattr(cfg, "bh_far", "fmm"),
+                near=_resolve_near(cfg))
             sc = lambda x: lax.psum_scatter(x, AXIS, scatter_dimension=0,
                                             tiled=True)
             i_loc = me * n_local + jnp.arange(n_local, dtype=jnp.int32)

@@ -26,23 +26,25 @@ def rel_force_err(a, b):
     return (np.linalg.norm(fa - fb, axis=1) / denom).max()
 
 
+@pytest.mark.parametrize("near", ["rows", "slots"])
 @pytest.mark.parametrize("ring,tol", [(1, 0.05), (2, 0.01)])
-def test_far_field_accuracy(ring, tol):
+def test_far_field_accuracy(ring, tol, near):
     pos, vel, mass, radius = random_state(2048, seed=1)
     bh = bh_accumulators(pos, vel, mass, radius, eps=50.0, mode="none",
-                         ring=ring, levels=4, neighbor_k=64)
+                         ring=ring, levels=4, neighbor_k=64, near=near)
     ex = pair_accumulators(pos, vel, mass, radius, eps=50.0, mode="none")
     assert rel_force_err(bh, ex) < tol
 
 
+@pytest.mark.parametrize("near", ["rows", "slots"])
 @pytest.mark.parametrize("mode", ["reference", "momentum", "elastic"])
-def test_collision_channels_match_exact(mode):
+def test_collision_channels_match_exact(mode, near):
     """With every body's neighborhood fully inside the near window (small
     radii vs cell size, K large enough), collision decisions are EXACT."""
     pos, vel, mass, radius = random_state(1024, seed=2, field=2000.0,
                                           rmax=15.0)
     bh = bh_accumulators(pos, vel, mass, radius, eps=10.0, growth_rate=0.1,
-                         mode=mode, levels=4, neighbor_k=128)
+                         mode=mode, levels=4, neighbor_k=128, near=near)
     # cell size = 2*2000*1.0001/16 = 250 > 2*rmax -> all overlaps in-window
     ex = pair_accumulators(pos, vel, mass, radius, eps=10.0, growth_rate=0.1,
                            mode=mode)
@@ -83,23 +85,33 @@ def test_bh_step_trajectory_close_to_exact():
 
 
 def test_overflow_count():
-    # 99 coincident bodies land in corner cell (0,0); windows are ROWS of
-    # 2*ring+1 cells capped at K. The hot cell is inside 2 in-grid window
-    # positions (centers x=0 and x=1 on row y=0), each overflowing by 99-K.
+    # 99 coincident bodies land in corner cell (0,0).
     pos = np.zeros((100, 2), np.float32)
     mass = np.ones(100, np.float32)
     pos[0] = [100.0, 100.0]  # spread the extent so cells are well-defined
-    n_over = int(overflow_count(pos, mass, levels=3, neighbor_k=32, ring=1))
+    # rows: windows are ROWS of 2*ring+1 cells capped at K. The hot cell is
+    # inside 2 in-grid window positions (centers x=0 and x=1 on row y=0),
+    # each overflowing by 99-K.
+    n_over = int(overflow_count(pos, mass, levels=3, neighbor_k=32, ring=1,
+                                near="rows"))
     assert n_over == 2 * (99 - 32)
-    # a big-enough row cap clears it
-    assert int(overflow_count(pos, mass, levels=3, neighbor_k=128)) == 0
+    # slots: K caps the partner slots visible per CELL, so the hot cell
+    # overflows by 99 - K — clustering costs less under per-cell caps
+    n_over = int(overflow_count(pos, mass, levels=3, neighbor_k=32, ring=1,
+                                near="slots"))
+    assert n_over == 99 - 32
+    # a big-enough cap clears both
+    for near in ("rows", "slots"):
+        assert int(overflow_count(pos, mass, levels=3, neighbor_k=128,
+                                  near=near)) == 0
 
 
-def test_dead_bodies_excluded():
+@pytest.mark.parametrize("near", ["rows", "slots"])
+def test_dead_bodies_excluded(near):
     pos, vel, mass, radius = random_state(256, seed=4, field=1000.0)
     mass[::3] = 0.0
     bh = bh_accumulators(pos, vel, mass, radius, eps=10.0, mode="reference",
-                         levels=3, neighbor_k=64)
+                         levels=3, neighbor_k=64, near=near)
     assert np.all(np.asarray(bh.force)[::3] == 0)
     assert not np.asarray(bh.died)[::3].any()
     ex = pair_accumulators(pos, vel, mass, radius, eps=10.0, mode="reference")
@@ -312,8 +324,9 @@ def test_near_field_id_packing_exact_beyond_2pow24():
 
 
 def test_pick_levels_density_aware():
-    """Uniform scenes keep the fast coarse default; clustered scenes refine
-    until near-field row overflow is within tolerance."""
+    """Uniform scenes keep the fast coarse default on the rows engine;
+    clustered scenes first switch to the slots engine (per-cell partner
+    caps absorb clustering without refining), and only then refine."""
     from nbodyax.config import SimConfig
     from nbodyax.physics.barneshut import pick_levels
     from nbodyax.scenes import init_scene
@@ -322,9 +335,26 @@ def test_pick_levels_density_aware():
     uni = init_scene(SimConfig(particle_count=n), parity=False)
     gal = init_scene(SimConfig(particle_count=n, scene="galaxy",
                                softening=100.0), parity=False)
-    lv_uni = pick_levels(uni.pos, uni.mass, neighbor_k=64)
-    lv_gal = pick_levels(gal.pos, gal.mass, neighbor_k=64)
+    lv_uni, near_uni = pick_levels(uni.pos, uni.mass)
     assert lv_uni == auto_levels(n)          # uniform: no refinement needed
-    assert lv_gal > lv_uni                   # clustered: refined finer
+    assert near_uni == "rows"                # ... on the cheap rows engine
+    # the galaxy overflows rows at auto K; the slots engine covers it at
+    # the SAME coarse level (no refinement cost)
+    lv_gal, near_gal = pick_levels(gal.pos, gal.mass)
+    assert near_gal == "slots"
+    assert lv_gal == lv_uni
     assert int(overflow_count(gal.pos, gal.mass, levels=lv_gal,
-                              neighbor_k=64)) <= n * 0.01
+                              near="slots")) <= n * 0.01
+    # squeeze the cap and the clustered scene must refine finer
+    lv_tight, near_tight = pick_levels(gal.pos, gal.mass, neighbor_k=8)
+    assert near_tight == "slots"
+    assert lv_tight > auto_levels(n)
+    assert int(overflow_count(gal.pos, gal.mass, levels=lv_tight,
+                              neighbor_k=8, near="slots")) <= n * 0.01
+    # pinned engine: rows refines instead of switching
+    lv_rows, near_rows = pick_levels(gal.pos, gal.mass, near="rows")
+    assert near_rows == "rows"
+    assert lv_rows > lv_uni
+    # pinned levels: only the engine is chosen, grid untouched
+    lv_pin, near_pin = pick_levels(gal.pos, gal.mass, levels=lv_uni)
+    assert (lv_pin, near_pin) == (lv_uni, "slots")
