@@ -1,6 +1,7 @@
 """Interleaved A/B of the two bh near-field engines on one scene.
 
-Run on the TPU chip: ``python -m bench.near_ab [uniform|galaxy] [reps] [dim]``.
+Run on the TPU chip:
+``python -m bench.near_ab [uniform|galaxy] [reps] [dim] [n]``.
 Both engines compile first, then reps alternate rows/slots so relay-latency
 drift (measured ~4x run-to-run) cancels out of the comparison. Auto knobs
 (pick_levels refines the grid for rows on clustered scenes; slots absorbs
@@ -16,7 +17,8 @@ from nbodyax.scenes import init_scene
 scene = sys.argv[1] if len(sys.argv) > 1 else "uniform"
 reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 dim = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-cfg0 = SimConfig(particle_count=1_048_576, collision_mode="reference",
+n = int(sys.argv[4]) if len(sys.argv) > 4 else 1_048_576
+cfg0 = SimConfig(particle_count=n, collision_mode="reference",
                  force_model="bh", softening=100.0, scene=scene,
                  dimensions=dim)
 state = init_scene(cfg0, parity=False)
@@ -35,6 +37,6 @@ for r in range(reps):
         s = steps[near](state)
         _ = float(s.pos[0, 0])
         t[near] += time.perf_counter() - t0
-out = {"scene": scene, "reps": reps, "dim": dim,
+out = {"scene": scene, "reps": reps, "dim": dim, "n": n,
        **{k + "_step_s": round(v / reps, 4) for k, v in t.items()}}
 print(json.dumps(out), flush=True)

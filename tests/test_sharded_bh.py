@@ -24,19 +24,21 @@ def random_state(n, seed=0, field=2000.0):
     return make_state(pos, vel, mass, radius)
 
 
+@pytest.mark.parametrize("near", ["rows", "slots"])
 @pytest.mark.parametrize("mode", ["reference", "momentum", "elastic"])
-def test_sharded_bh_matches_single_device(mode):
+def test_sharded_bh_matches_single_device(mode, near):
     n = 512
     st = random_state(n, seed=1)
     p = PhysicsParams(dt=0.1, field_width=2000, field_height=2000,
                       eps=10.0, collision_mode=mode)
     cfg = SimConfig(shards=N_DEV, force_model="bh", collision_mode=mode,
-                    bh_levels=4, bh_neighbor_k=128, softening=10.0)
+                    bh_levels=4, bh_neighbor_k=128, softening=10.0,
+                    bh_near=near)
     mesh = make_mesh(N_DEV)
     sharded = make_sharded_bh_step(cfg, p, mesh=mesh)
     single = make_step(p, accum_fn=partial(
         bh_accumulators, eps=p.eps, growth_rate=p.growth_rate,
-        mode=mode, levels=4, neighbor_k=128))
+        mode=mode, levels=4, neighbor_k=128, near=near))
     a = sharded(shard_state(pad_to_shards(st, N_DEV), mesh))
     b = single(st)
     np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos),
@@ -124,8 +126,9 @@ def test_sharded_bh_scale_representative():
                                   np.asarray(b.mass) > 0)
 
 
+@pytest.mark.parametrize("near", ["rows", "slots"])
 @pytest.mark.parametrize("mode", ["reference", "momentum", "elastic"])
-def test_cellrange_shards_are_disjoint_and_complete(mode):
+def test_cellrange_shards_are_disjoint_and_complete(mode, near):
     """bh_cellrange_accumulators over all shard indices must partition the
     full bh_accumulators result: each body's row is non-identity on exactly
     one shard (the owner of its finest cell), and the identity-rebased sum
@@ -144,7 +147,8 @@ def test_cellrange_shards_are_disjoint_and_complete(mode):
     mass = rng.uniform(1, 100, n).astype(np.float32)
     mass[3] = 0.0
     radius = rng.uniform(1, 15, n).astype(np.float32)
-    kw = dict(eps=10.0, growth_rate=0.1, mode=mode, levels=4, neighbor_k=256)
+    kw = dict(eps=10.0, growth_rate=0.1, mode=mode, levels=4,
+              neighbor_k=256, near=near)
 
     full = bh_accumulators(pos, vel, mass, radius, **kw)
     parts = [bh_cellrange_accumulators(pos, vel, mass, radius,
