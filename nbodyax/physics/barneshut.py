@@ -129,6 +129,16 @@ def auto_neighbor_k(n: int, levels: int, ring: int = 1,
     return int(max(64, 8 * -(-want // 8)))
 
 
+# Measured rows/slots crossover on UNIFORM scenes (interleaved A/B,
+# ``python -m bench.near_ab``, auto knobs): rows wins at N=1M (2-D 0.366
+# vs 0.406 s/step, 3-D 0.83 vs 1.35) but slots wins from N=2M up (2-D
+# 1.18 vs 1.00, N=4M 2.33 vs 1.70; 3-D N=2M 2.95 vs 2.76) — the rows
+# engine's per-row window gathers scale worse with table size than the
+# slot grid's contiguous slices. Above this count auto prefers slots even
+# when rows wouldn't overflow.
+_SLOTS_PREFERRED_N = 1_500_000
+
+
 def pick_levels(pos, mass, *, neighbor_k: int = 0, ring: int = 1,
                 max_levels: int = 10, tolerance: float = 0.01,
                 near: str = "auto", levels: int = 0) -> tuple:
@@ -141,7 +151,9 @@ def pick_levels(pos, mass, *, neighbor_k: int = 0, ring: int = 1,
     probes ``overflow_count`` on the given state and escalates until the
     overflow fraction is within ``tolerance``: with ``near="auto"`` it
     first tries the "rows" engine at the uniform-density level (fastest on
-    near-uniform scenes: tight per-row caps), then the "slots" engine at
+    near-uniform scenes below ``_SLOTS_PREFERRED_N`` bodies; above that the
+    order flips — slots A/B-measures faster at N>=2M even on uniform
+    scenes), then the other engine at
     the same level (per-cell caps absorb clustering the row cap can't —
     the N=1M galaxy runs overflow-free WITHOUT refining, 2x faster than
     the refined rows grid), and only then refines the grid. The default 1%
@@ -163,8 +175,11 @@ def pick_levels(pos, mass, *, neighbor_k: int = 0, ring: int = 1,
                                   ring=ring, near=eng))
 
     if near == "auto":
-        if ov_at(lv, "rows") <= n * tolerance:
-            return lv, "rows"
+        order = (("slots", "rows") if n >= _SLOTS_PREFERRED_N
+                 else ("rows", "slots"))
+        for eng in order:
+            if ov_at(lv, eng) <= n * tolerance:
+                return lv, eng
         near = "slots"
     while lv < cap:
         if ov_at(lv, near) <= n * tolerance:

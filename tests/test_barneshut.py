@@ -358,3 +358,21 @@ def test_pick_levels_density_aware():
     # pinned levels: only the engine is chosen, grid untouched
     lv_pin, near_pin = pick_levels(gal.pos, gal.mass, levels=lv_uni)
     assert (lv_pin, near_pin) == (lv_uni, "slots")
+
+
+def test_pick_levels_size_preference(monkeypatch):
+    """Above the measured rows/slots crossover (~1.5M bodies; A/B records in
+    bench/results_r2_near.json) auto prefers the slots engine even when the
+    rows engine would not overflow. Exercised at test scale by lowering the
+    threshold constant."""
+    from nbodyax.config import SimConfig
+    from nbodyax.physics import barneshut
+    from nbodyax.scenes import init_scene
+
+    n = 65536
+    uni = init_scene(SimConfig(particle_count=n), parity=False)
+    assert barneshut.pick_levels(uni.pos, uni.mass)[1] == "rows"
+    monkeypatch.setattr(barneshut, "_SLOTS_PREFERRED_N", n)
+    lv, near = barneshut.pick_levels(uni.pos, uni.mass)
+    assert near == "slots"
+    assert lv == auto_levels(n)  # preference flip alone must not refine
