@@ -31,10 +31,17 @@ def resolve_backend(name: str) -> str:
 
 def _resolve_near(cfg) -> str:
     """bhNear for an accum fn: "auto" means the caller never probed the
-    density (driver.build_step resolves it against the starting state
-    before reaching here) — fall back to the uniform-optimal rows engine."""
+    density (driver.resolve_bh_config does that against the starting state
+    before reaching here) — fall back by the measured size crossover: rows
+    is uniform-optimal below ~1.5M bodies, slots above (the rows engine's
+    window gathers scale worse with table size; barneshut's
+    _SLOTS_PREFERRED_N records the A/B numbers)."""
     near = getattr(cfg, "bh_near", "rows")
-    return "rows" if near == "auto" else near
+    if near != "auto":
+        return near
+    from nbodyax.physics.barneshut import _SLOTS_PREFERRED_N
+    n = getattr(cfg, "particle_count", 0)
+    return "slots" if n >= _SLOTS_PREFERRED_N else "rows"
 
 
 def build_accum_fn(backend: str, p: PhysicsParams, cfg=None):

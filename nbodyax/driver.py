@@ -27,7 +27,7 @@ from nbodyax.render import FrameWriter, render_state
 from nbodyax.scenes import init_scene
 from nbodyax.state import SimState
 
-__all__ = ["run_simulation", "RunResult", "build_step"]
+__all__ = ["run_simulation", "RunResult", "build_step", "resolve_bh_config"]
 
 
 @dataclass
@@ -51,49 +51,60 @@ def _run_k(step, state, k):
 MAX_PAIRS_PER_DISPATCH = 4.5e12
 
 
+def resolve_bh_config(cfg: SimConfig, capacity: int = 0,
+                      state: Optional[SimState] = None,
+                      quiet: bool = True) -> SimConfig:
+    """Resolve ``forceModel=bh`` auto knobs (bhLevels, bhNear, bhNeighborK)
+    to concrete values. With a starting ``state``, levels and engine are
+    probed density-aware (barneshut.pick_levels: coarse where the scene
+    allows, finer where clustering would overflow the near-field cap);
+    without one, the uniform-density heuristics apply and the engine is
+    picked by the measured size crossover (rows below ~1.5M bodies, slots
+    above — barneshut._SLOTS_PREFERRED_N). Idempotent on resolved configs;
+    non-bh configs pass through unchanged."""
+    if cfg.force_model != "bh":
+        return cfg
+    import dataclasses
+    capacity = capacity or (state.capacity if state is not None
+                            else cfg.particle_count)
+    if cfg.bh_levels == 0 or cfg.bh_near == "auto":
+        if state is not None:
+            from nbodyax.physics.barneshut import pick_levels
+            lv, near = pick_levels(
+                state.pos, state.mass, neighbor_k=cfg.bh_neighbor_k,
+                ring=cfg.bh_ring, near=cfg.bh_near, levels=cfg.bh_levels)
+            cfg = dataclasses.replace(cfg, bh_near=near,
+                                      bh_levels=cfg.bh_levels or lv)
+            if not quiet:
+                print(f"bh auto-selected: bhLevels={cfg.bh_levels} "
+                      f"bhNear={cfg.bh_near}")
+        elif cfg.bh_near == "auto":
+            from nbodyax.physics.barneshut import _SLOTS_PREFERRED_N
+            near = "slots" if capacity >= _SLOTS_PREFERRED_N else "rows"
+            cfg = dataclasses.replace(cfg, bh_near=near)
+    if cfg.bh_neighbor_k == 0 and cfg.bh_levels > 0:
+        # concrete K in cfg so bhAdapt's widening and the health probe see
+        # the resolved value (0 = auto stays only when levels are auto too,
+        # in which case the accumulators resolve both internally)
+        from nbodyax.physics.barneshut import auto_neighbor_k
+        cfg = dataclasses.replace(cfg, bh_neighbor_k=auto_neighbor_k(
+            capacity, cfg.bh_levels, cfg.bh_ring, cfg.dimensions,
+            cfg.bh_near))
+        if not quiet:
+            print(f"bhNeighborK auto-selected: {cfg.bh_neighbor_k}")
+    return cfg
+
+
 def build_step(cfg: SimConfig, capacity: int = 0,
                state: Optional[SimState] = None,
                quiet: bool = True) -> Callable[[SimState], SimState]:
     """Step function per config: physics params + backend (+ ring when
     shards > 1, + split dispatches when capacity^2 exceeds the per-dispatch
-    pair budget).
-
-    With ``forceModel=bh`` and ``bhLevels=0``, passing the starting ``state``
-    resolves the finest level density-aware (barneshut.pick_levels: coarse
-    where the scene allows, finer where clustering would overflow the
-    near-field row cap). Without a state, levels fall back to the
-    uniform-density ``auto_levels`` heuristic."""
-    if (cfg.force_model == "bh" and state is not None
-            and (cfg.bh_levels == 0 or cfg.bh_near == "auto")):
-        import dataclasses
-
-        from nbodyax.physics.barneshut import pick_levels
-        lv, near = pick_levels(
-            state.pos, state.mass, neighbor_k=cfg.bh_neighbor_k,
-            ring=cfg.bh_ring, near=cfg.bh_near, levels=cfg.bh_levels)
-        cfg = dataclasses.replace(cfg, bh_near=near,
-                                  bh_levels=cfg.bh_levels or lv)
-        if not quiet:
-            print(f"bh auto-selected: bhLevels={cfg.bh_levels} "
-                  f"bhNear={cfg.bh_near}")
-    elif cfg.force_model == "bh" and cfg.bh_near == "auto":
-        # no state to probe: assume near-uniform density (auto_levels'
-        # assumption too) — the rows engine is the uniform-optimal
-        import dataclasses
-        cfg = dataclasses.replace(cfg, bh_near="rows")
+    pair budget). bh auto knobs resolve via ``resolve_bh_config`` (pass
+    ``state`` for the density-aware choice)."""
+    cfg = resolve_bh_config(cfg, capacity=capacity, state=state, quiet=quiet)
     p = PhysicsParams.from_config(cfg)
     capacity = capacity or cfg.particle_count
-    if (cfg.force_model == "bh" and cfg.bh_neighbor_k == 0
-            and cfg.bh_levels > 0):
-        # concrete K in cfg so bhAdapt's doubling and the health probe see
-        # the resolved value (0 = auto stays only when levels are auto too,
-        # in which case the accumulators resolve both internally)
-        import dataclasses
-
-        from nbodyax.physics.barneshut import auto_neighbor_k
-        cfg = dataclasses.replace(cfg, bh_neighbor_k=auto_neighbor_k(
-            capacity, cfg.bh_levels, cfg.bh_ring, cfg.dimensions,
-            cfg.bh_near))
     if cfg.shards > 1:
         # leapfrog's KDK runs two full ring passes inside the one dispatch
         passes = 2 if cfg.integrator == "leapfrog" else 1
@@ -125,6 +136,17 @@ def build_step(cfg: SimConfig, capacity: int = 0,
         step = make_split_step(p, n_splits, dim=cfg.dimensions)
         step._host_loop = True  # driver: don't wrap in lax.fori_loop
         return step
+    if n_splits > 1:
+        # the split path rides the Pallas tile kernel; the jnp backend has
+        # no split equivalent, so past the budget it issues one unbounded
+        # device execution — surface it instead of silently risking the
+        # ~2-min execution watchdog (see MAX_PAIRS_PER_DISPATCH)
+        import warnings
+        warnings.warn(
+            f"jnp backend: ~{float(capacity) ** 2:.2e} pairs run as one "
+            f"device dispatch (no split path off-Pallas), past the "
+            f"{MAX_PAIRS_PER_DISPATCH:.1e} per-dispatch budget — very long "
+            "uninterruptible executions may hit runtime watchdogs")
     accum_fn = build_accum_fn(cfg.backend, p)
     return make_step(p, accum_fn=accum_fn)
 
@@ -182,31 +204,10 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
         mesh = make_mesh(cfg.shards)
         state = shard_state(pad_to_shards(state, cfg.shards), mesh)
 
-    if cfg.force_model == "bh" and (cfg.bh_levels == 0
-                                    or cfg.bh_near == "auto"):
-        # density-aware finest level + near engine from the actual starting
-        # state: the "rows" engine at the uniform-density level for
-        # near-uniform scenes, the "slots" engine (per-cell partner caps
-        # absorb clustering) before any refinement (barneshut.pick_levels)
-        from dataclasses import replace as _dc_replace
-        from nbodyax.physics.barneshut import pick_levels
-        lv, near = pick_levels(
-            state.pos, state.mass, neighbor_k=cfg.bh_neighbor_k,
-            ring=cfg.bh_ring, near=cfg.bh_near, levels=cfg.bh_levels)
-        cfg = _dc_replace(cfg, bh_near=near,
-                          bh_levels=cfg.bh_levels or lv)
-        if not quiet:
-            print(f"bh auto-selected: bhLevels={cfg.bh_levels} "
-                  f"bhNear={cfg.bh_near}")
-    if cfg.force_model == "bh" and cfg.bh_neighbor_k == 0:
-        # concrete K so bhAdapt doubling / the health probe see it
-        from dataclasses import replace as _dc_replace
-        from nbodyax.physics.barneshut import auto_neighbor_k
-        cfg = _dc_replace(cfg, bh_neighbor_k=auto_neighbor_k(
-            state.capacity, cfg.bh_levels, cfg.bh_ring, cfg.dimensions,
-            cfg.bh_near))
-        if not quiet:
-            print(f"bhNeighborK auto-selected: {cfg.bh_neighbor_k}")
+    # density-aware bh knob resolution against the actual starting state;
+    # the driver needs the resolved cfg itself (bh_health / bhAdapt below)
+    cfg = resolve_bh_config(cfg, capacity=state.capacity, state=state,
+                            quiet=quiet)
 
     step = build_step(cfg, capacity=state.capacity)
     meter = StepMeter(capacity=state.capacity)
@@ -318,7 +319,14 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
     try:
         iteration = start_step
         while iteration < cfg.total_iterations:
-            k = min(stride, cfg.total_iterations - iteration)
+            # shorten a misaligned first window (resume from a checkpoint
+            # whose step is not a stride multiple — e.g. the cadences
+            # changed across the resume) so every later boundary lands on
+            # the absolute cadence multiples the due-checks below test;
+            # otherwise logs/checkpoints/compaction would silently never
+            # fire for the whole run
+            k = min(stride - iteration % stride,
+                    cfg.total_iterations - iteration)
             log_due = cfg.log_every and (iteration + k) % cfg.log_every == 0
             if writer is not None and iteration % cfg.save_image_every == 0:
                 # reference frame iteration_j holds *post-step-j* state: the
@@ -341,29 +349,49 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                 scal = scalars_from_vec(v, cfg.dimensions)
                 if cfg.force_model == "bh":
                     from nbodyax.physics.barneshut import bh_health
-                    # [overflow, max radius, min span] in one dispatch+fetch:
-                    # bodies invisible to the near field this step (raise
+                    # [partner-cap overflow, completion-budget overflow,
+                    # max radius, min span] in one dispatch+fetch: bodies
+                    # invisible to the near field this step (raise
                     # bhNeighborK / bhLevels if this is ever nonzero)
                     h = np.asarray(bh_health(
                         state.pos, state.mass, state.radius,
                         levels=cfg.bh_levels, neighbor_k=cfg.bh_neighbor_k,
                         ring=cfg.bh_ring, near=cfg.bh_near))
-                    scal["bh_overflow"] = int(h[0])
+                    scal["bh_overflow"] = int(h[0] + h[1])
                     if cfg.bh_adapt:
                         # self-tuning between windows (bounded recompiles):
                         # collapsing/merging runs drift out of any fixed
-                        # (levels, K) envelope — widen K on partner overflow,
-                        # coarsen levels when grown radii outrun the ring's
-                        # collision coverage (approximation 1/2 in
+                        # (levels, K) envelope — widen K on partner-cap
+                        # overflow (the only term K touches; a futile
+                        # doubling would cost a multi-minute recompile),
+                        # refine levels on completion-budget overflow,
+                        # coarsen levels when grown radii outrun the
+                        # ring's collision coverage (approximation 1/2 in
                         # barneshut's module docstring)
                         new = {}
-                        if (h[0] > max(64.0, 1e-3 * scal["alive"])
-                                and cfg.bh_neighbor_k < 1024):
-                            new["bh_neighbor_k"] = 2 * cfg.bh_neighbor_k
-                        cell = h[2] / (1 << cfg.bh_levels)
-                        if 2.0 * h[1] > cfg.bh_ring * cell \
+                        thresh = max(64.0, 1e-3 * scal["alive"])
+                        if h[0] > thresh and cfg.bh_neighbor_k < 1024:
+                            if cfg.bh_near == "slots":
+                                # the slots cap is max(K, slot_cap):
+                                # doubling K below that floor is a no-op
+                                from nbodyax.physics.barneshut import \
+                                    slot_cap
+                                eff = max(cfg.bh_neighbor_k, slot_cap(
+                                    state.capacity,
+                                    (1 << cfg.bh_levels) ** cfg.dimensions))
+                            else:
+                                eff = cfg.bh_neighbor_k
+                            new["bh_neighbor_k"] = min(1024, 2 * eff)
+                        cell = h[3] / (1 << cfg.bh_levels)
+                        if 2.0 * h[2] > cfg.bh_ring * cell \
                                 and cfg.bh_levels > 2:
                             new["bh_levels"] = cfg.bh_levels - 1
+                        elif (h[1] > thresh and "bh_neighbor_k" not in new
+                                and cfg.bh_levels < 10):
+                            # crowded cells past slot_cap AND the per-body
+                            # completion budget: only a finer grid (lower
+                            # occupancy) brings those bodies back
+                            new["bh_levels"] = cfg.bh_levels + 1
                         if new:
                             from dataclasses import replace as _dc
                             cfg = _dc(cfg, **new)

@@ -169,10 +169,14 @@ def pick_levels(pos, mass, *, neighbor_k: int = 0, ring: int = 1,
     lv = levels or auto_levels(n, max_levels=max_levels, dim=dim)
     cap = lv if levels else (min(max_levels, 7) if dim == 3 else max_levels)
 
+    probed = {}  # each (level, engine) probe is a device round-trip
+
     def ov_at(lv, eng):
-        k = neighbor_k or auto_neighbor_k(n, lv, ring, dim, eng)
-        return int(overflow_count(pos, mass, levels=lv, neighbor_k=k,
-                                  ring=ring, near=eng))
+        if (lv, eng) not in probed:
+            k = neighbor_k or auto_neighbor_k(n, lv, ring, dim, eng)
+            probed[lv, eng] = int(overflow_count(
+                pos, mass, levels=lv, neighbor_k=k, ring=ring, near=eng))
+        return probed[lv, eng]
 
     if near == "auto":
         order = (("slots", "rows") if n >= _SLOTS_PREFERRED_N
@@ -363,7 +367,8 @@ def _far_window_force(pxs, ws, use, cellrow, ext, g, eps2, order):
     return f
 
 
-def _far_force(i_pos, pos, mass, ext, levels, ring, eps2, chunk, order=1):
+def _far_force(i_pos, pos, mass, ext, levels, ring, eps2, chunk, order=1,
+               grids=None):
     """Far-field force for the i bodies (any subset), with grids aggregated
     from the full (pos, mass) partner set. Dimension-generic (2-D quadtree /
     3-D octree; the interaction-list window is win^dim cells per level).
@@ -383,7 +388,8 @@ def _far_force(i_pos, pos, mass, ext, levels, ring, eps2, chunk, order=1):
     a [chunk, few-hundred]-cell elementwise pass is VPU noise by comparison.
     """
     dim = pos.shape[-1]
-    grids = _level_grids(pos, mass, ext, levels, order)
+    if grids is None:
+        grids = _level_grids(pos, mass, ext, levels, order)
     n = i_pos.shape[0]
     win = 4 * ring + 2
     offs = [lax.broadcasted_iota(jnp.int32, (win,) * dim, d).reshape(-1)
@@ -960,8 +966,10 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
         gi = order[jnp.clip(psx, 0, n - 1)]  # fills -> a real body, dropped
         osidx = jnp.where(psx < n, gi, n)    # ... by scattering to row n
         # match the fast pass's per-row coverage: rows sees k per window
-        # row; slots sees k per CELL, i.e. (2*ring+1)*k per row
-        row_k = (2 * ring + 1) * k if use_slots else k
+        # row; slots sees S = max(k, ci_cap) per CELL (the slot grid is
+        # sized S so the i slice can ride it, and all S rows serve as
+        # partners), i.e. (2*ring+1)*S per row
+        row_k = (2 * ring + 1) * S if use_slots else k
         oacc = _near_field(pos[gi], vel[gi], mass[gi], radius[gi], gi,
                            pos, vel, mass, radius, ext, levels, ring, eps2,
                            growth_rate, mode, row_k,
@@ -980,7 +988,7 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
 
 def _far_force_cells(pos, mass, ext, levels, ring, eps2, order, structure,
                      ci_cap: int = _CI_CAP, chunk: int = 8192,
-                     cell_range=None):
+                     cell_range=None, grids=None):
     """Far field for the FULL body set via per-CELL window gathers.
 
     Bodies sharing a finest cell share their level-l cell at EVERY coarser
@@ -997,14 +1005,13 @@ def _far_force_cells(pos, mass, ext, levels, ring, eps2, order, structure,
     (force[ncells*ci_cap, dim], scatter_idx[ncells*ci_cap]) in slot order;
     invalid slots point at scatter row n.
     """
-    import itertools  # noqa: F401  (parallel structure with the near pass)
-
     dim = pos.shape[-1]
     n = pos.shape[0]
     g_f = 1 << levels
     ncells = g_f ** dim
     order_idx, s_cell, starts, ends, sf = structure
-    grids = _level_grids(pos, mass, ext, levels, order)
+    if grids is None:
+        grids = _level_grids(pos, mass, ext, levels, order)
     packed = {l: jnp.stack(grids[l], axis=1) for l in grids}
     win = 4 * ring + 2
     offs = [lax.broadcasted_iota(jnp.int32, (win,) * dim, d).reshape(-1)
@@ -1642,10 +1649,15 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
         ann = _tiered(ps, n, run_ann_completion, ann)[:n]
         far_v = far_all + ann
     else:
-        # "direct": gathered per-cell window pass + per-body completion
+        # "direct": gathered per-cell window pass + per-body completion.
+        # Build the level grids ONCE here and thread them through: the
+        # completion closure runs inside _tiered's lax.cond, where XLA
+        # cannot CSE a rebuild against the copy outside the conditional.
+        d_grids = _level_grids(pos, mass, ext, levels, order)
         fslots, fsidx = _far_force_cells(pos, mass, ext, levels, ring, eps2,
                                          order, structure, ci_cap=cap,
-                                         chunk=c, cell_range=cell_range)
+                                         chunk=c, cell_range=cell_range,
+                                         grids=d_grids)
         far_v = jnp.zeros((n + 1, dim), jnp.float32).at[fsidx].set(fslots)
         srank = (jnp.arange(n, dtype=jnp.int32)
                  - starts[jnp.clip(s_cell, 0, ncells - 1)])
@@ -1656,7 +1668,8 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
             gi = order_idx[jnp.clip(psx, 0, n - 1)]
             osidx = jnp.where(psx < n, gi, n)
             far_over = _far_force(pos[gi], pos, mass, ext, levels, ring,
-                                  eps2, min(psx.shape[0], c), order)
+                                  eps2, min(psx.shape[0], c), order,
+                                  grids=d_grids)
             return fv.at[osidx].set(far_over)
 
         # same tiered static-budget elision as the near completion (_tiered)
@@ -1745,6 +1758,16 @@ def overflow_count(pos, mass, *, levels: int = 0, neighbor_k: int = 0,
        (those get NO near field — and no far field — of their own).
 
     0 means the near field is exact for the current distribution."""
+    k_over, dropped = _overflow_terms(pos, mass, levels=levels,
+                                      neighbor_k=neighbor_k, ring=ring,
+                                      near=near)
+    return k_over + dropped
+
+
+def _overflow_terms(pos, mass, *, levels, neighbor_k, ring, near):
+    """(partner-cap overflow, completion-budget overflow) — the two terms of
+    ``overflow_count``, separated so the driver's bhAdapt can tell which
+    knob would actually help (K widening fixes only the first)."""
     n = pos.shape[0]
     dim = pos.shape[-1]
     levels = levels or auto_levels(n, dim=dim)
@@ -1755,7 +1778,12 @@ def overflow_count(pos, mass, *, levels: int = 0, neighbor_k: int = 0,
     cell = jnp.where(alive, _flatten_cells(_cells(pos, ext, g), g), g ** dim)
     occ = jnp.zeros((g ** dim + 1,), jnp.int32).at[cell].add(1)
     if near == "slots":
-        k_over = jnp.sum(jnp.maximum(occ[:-1] - neighbor_k, 0))
+        # the slot grid exposes max(k, slot_cap) partner slots per cell
+        # (it is sized to carry the i-slot slice too), so that is the cap
+        # bodies actually overflow — counting against a pinned smaller k
+        # would report overflow the engine covers
+        eff_k = max(neighbor_k, slot_cap(n, g ** dim))
+        k_over = jnp.sum(jnp.maximum(occ[:-1] - eff_k, 0))
     else:
         occg = occ[:-1].reshape((g,) * dim)  # row-major, x the LAST axis
         # window-row occupancy at each center x: sum of the (2*ring+1)
@@ -1765,23 +1793,27 @@ def overflow_count(pos, mass, *, levels: int = 0, neighbor_k: int = 0,
         k_over = jnp.sum(jnp.maximum(row - neighbor_k, 0))
     i_over = jnp.sum(jnp.maximum(occ[:-1] - slot_cap(n, g ** dim), 0))
     dropped = jnp.maximum(i_over - _completion_cap(n), 0)
-    return k_over + dropped
+    return k_over, dropped
 
 
 @partial(jax.jit, static_argnames=("levels", "neighbor_k", "ring", "near"))
 def bh_health(pos, mass, radius, *, levels: int, neighbor_k: int = 0,
               ring: int = 1, near: str = "rows"):
     """One-dispatch health probe for the driver's per-log bh check:
-    [overflow_count, max live radius, min bounding-box span]. The driver
-    fetches this single vector and (with ``bhAdapt``) raises bhNeighborK on
-    overflow or coarsens bhLevels when 2*max_radius outgrows the ring's
-    collision coverage (ring * min_span / 2^levels)."""
+    [partner-cap overflow, completion-budget overflow, max live radius,
+    min bounding-box span]. The driver fetches this single vector and
+    (with ``bhAdapt``) widens bhNeighborK on partner-cap overflow, refines
+    bhLevels on completion-budget overflow (K does not touch that term),
+    or coarsens bhLevels when 2*max_radius outgrows the ring's collision
+    coverage (ring * min_span / 2^levels)."""
     alive = mass > 0
-    ov = overflow_count(pos, mass, levels=levels, neighbor_k=neighbor_k,
-                        ring=ring, near=near)
+    k_over, dropped = _overflow_terms(pos, mass, levels=levels,
+                                      neighbor_k=neighbor_k, ring=ring,
+                                      near=near)
     rmax = jnp.max(jnp.where(alive, radius, 0.0))
     _, spans = _extent(pos, alive)
     span_min = spans[0]
     for s in spans[1:]:
         span_min = jnp.minimum(span_min, s)
-    return jnp.stack([ov.astype(jnp.float32), rmax, span_min])
+    return jnp.stack([k_over.astype(jnp.float32),
+                      dropped.astype(jnp.float32), rmax, span_min])

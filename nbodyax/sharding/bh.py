@@ -52,10 +52,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 from nbodyax.config import SimConfig
 from nbodyax.backends import _resolve_near
 from nbodyax.physics.barneshut import bh_cellrange_accumulators
-from nbodyax.physics.collisions import resolve_collisions
 from nbodyax.physics.step import (PhysicsParams, finish_euler,
                                   finish_leapfrog, half_kick_drift)
 from nbodyax.sharding.mesh import AXIS, make_mesh
+from nbodyax.sharding.ring import resolve_collisions_sharded
 from nbodyax.state import SimState
 
 __all__ = ["make_sharded_bh_step"]
@@ -106,18 +106,8 @@ def make_sharded_bh_step(cfg: SimConfig,
                 dv=sc(acc.dv))
 
         acc = bh_acc(pos, vel, mass, radius)
-
-        if p.collision_mode == "momentum":
-            # merge trees cross shards: resolve on gathered global arrays
-            acc_g = jax.tree.map(g, acc)
-            pos2_g, vel2_g, mass2_g, radius2_g = resolve_collisions(
-                g(pos), g(vel), g(mass), g(radius), acc_g, mode="momentum")
-            sl = lambda x: lax.dynamic_slice_in_dim(x, me * n_local, n_local)
-            pos2, vel2 = sl(pos2_g), sl(vel2_g)
-            mass2, radius2 = sl(mass2_g), sl(radius2_g)
-        else:
-            pos2, vel2, mass2, radius2 = resolve_collisions(
-                pos, vel, mass, radius, acc, mode=p.collision_mode)
+        pos2, vel2, mass2, radius2 = resolve_collisions_sharded(
+            pos, vel, mass, radius, acc, p.collision_mode)
 
         if p.integrator == "euler":
             return finish_euler(pos2, vel2, mass2, radius2, radius,

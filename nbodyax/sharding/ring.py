@@ -119,6 +119,25 @@ def ring_accumulators(pos, vel, mass, radius, *, n_shards: int,
     return acc
 
 
+def resolve_collisions_sharded(pos, vel, mass, radius, acc, mode):
+    """Collision resolution inside a ``shard_map`` body (local arrays, named
+    axis AXIS in scope). reference/elastic/none resolve purely locally;
+    momentum-mode merge trees span shards, so the resolve runs replicated on
+    all-gathered arrays (pointer doubling is O(N log N), negligible next to
+    the pair math) and each shard keeps its own slice. Shared by the exact
+    ring step and the sharded bh step."""
+    if mode != "momentum":
+        return resolve_collisions(pos, vel, mass, radius, acc, mode=mode)
+    g = lambda x: lax.all_gather(x, AXIS, tiled=True)
+    acc_g = jax.tree.map(g, acc)
+    out_g = resolve_collisions(g(pos), g(vel), g(mass), g(radius), acc_g,
+                               mode="momentum")
+    me = lax.axis_index(AXIS)
+    n_local = pos.shape[0]
+    sl = lambda x: lax.dynamic_slice_in_dim(x, me * n_local, n_local)
+    return tuple(sl(x) for x in out_g)
+
+
 def make_sharded_step(cfg: SimConfig, p: PhysicsParams,
                       mesh: Mesh = None) -> Callable[[SimState], SimState]:
     """jit-compiled full step over a sharded SimState.
@@ -141,23 +160,8 @@ def make_sharded_step(cfg: SimConfig, p: PhysicsParams,
                        accum_fn=accum_fn,
                        need_vel=p.collision_mode == "elastic")
         acc = ring(pos, vel, mass, radius)
-
-        if p.collision_mode == "momentum":
-            # merge trees cross shards: resolve replicated on gathered arrays
-            g = lambda x: lax.all_gather(x, AXIS, tiled=True)
-            pos_g, vel_g = g(pos), g(vel)
-            mass_g, radius_g = g(mass), g(radius)
-            acc_g = jax.tree.map(g, acc)
-            pos2_g, vel2_g, mass2_g, radius2_g = resolve_collisions(
-                pos_g, vel_g, mass_g, radius_g, acc_g, mode="momentum")
-            me = lax.axis_index(AXIS)
-            n_local = pos.shape[0]
-            sl = lambda x: lax.dynamic_slice_in_dim(x, me * n_local, n_local)
-            pos2, vel2 = sl(pos2_g), sl(vel2_g)
-            mass2, radius2 = sl(mass2_g), sl(radius2_g)
-        else:
-            pos2, vel2, mass2, radius2 = resolve_collisions(
-                pos, vel, mass, radius, acc, mode=p.collision_mode)
+        pos2, vel2, mass2, radius2 = resolve_collisions_sharded(
+            pos, vel, mass, radius, acc, p.collision_mode)
 
         if p.integrator == "euler":
             return finish_euler(pos2, vel2, mass2, radius2, radius,

@@ -104,6 +104,14 @@ def test_overflow_count():
     for near in ("rows", "slots"):
         assert int(overflow_count(pos, mass, levels=3, neighbor_k=128,
                                   near=near)) == 0
+    # pinning K below the structural slot_cap floor must not report
+    # overflow the slot grid actually covers: the grid exposes
+    # max(K, slot_cap) partner slots per cell, and both the fast and the
+    # completion pass see that effective cap
+    assert int(overflow_count(pos, mass, levels=3, neighbor_k=8,
+                              near="slots")) == \
+        int(overflow_count(pos, mass, levels=3, neighbor_k=32,
+                           near="slots"))
 
 
 @pytest.mark.parametrize("near", ["rows", "slots"])
@@ -345,10 +353,14 @@ def test_pick_levels_density_aware():
     assert lv_gal == lv_uni
     assert int(overflow_count(gal.pos, gal.mass, levels=lv_gal,
                               near="slots")) <= n * 0.01
-    # squeeze the cap and the clustered scene must refine finer
+    # pinning the cap below the slot grid's structural floor (slot_cap =
+    # 2x mean occupancy) is a no-op for slots: the grid exposes slot_cap
+    # partner slots per cell regardless, the fast pass covers them, and
+    # overflow_count counts against that effective cap — so no spurious
+    # refinement
     lv_tight, near_tight = pick_levels(gal.pos, gal.mass, neighbor_k=8)
     assert near_tight == "slots"
-    assert lv_tight > auto_levels(n)
+    assert lv_tight == lv_uni
     assert int(overflow_count(gal.pos, gal.mass, levels=lv_tight,
                               neighbor_k=8, near="slots")) <= n * 0.01
     # pinned engine: rows refines instead of switching

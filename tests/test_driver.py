@@ -37,6 +37,23 @@ def test_log_cadence_respected(tmp_path):
     assert [l["step"] for l in lines] == [5, 10, 15, 20]
 
 
+def test_misaligned_resume_keeps_cadence(tmp_path):
+    """A start step that is not a stride multiple (resume from a checkpoint
+    saved under different cadences) must re-align on the first window, so
+    the absolute log/checkpoint cadences still fire — not silently skip
+    the whole run."""
+    from nbodyax.scenes import init_scene
+    from nbodyax.state import make_state
+
+    cfg = base_cfg(tmp_path, log_every=5, total_iterations=20)
+    s0 = init_scene(cfg, parity=False)
+    st = make_state(np.asarray(s0.pos), np.asarray(s0.vel),
+                    np.asarray(s0.mass), np.asarray(s0.radius), step=3)
+    run_simulation(cfg, quiet=True, state=st)
+    lines = [json.loads(l) for l in open(cfg.log_path).read().splitlines()]
+    assert [l["step"] for l in lines] == [5, 10, 15, 20]
+
+
 def test_no_cadence_runs_to_completion(tmp_path):
     cfg = base_cfg(tmp_path, log_every=0, total_iterations=100)
     res = run_simulation(cfg, quiet=True)
@@ -127,7 +144,10 @@ def test_multi_frame_fused_window_content(tmp_path):
 
 def test_bh_adapt_raises_neighbor_k_on_overflow(tmp_path, capsys):
     """bhAdapt: a clustered scene whose window rows overflow a tiny
-    bhNeighborK must trigger a between-window rebuild with doubled K."""
+    bhNeighborK must trigger a between-window rebuild with doubled K.
+    Pinned to the rows engine: a small K binds there (the slots engine's
+    effective cap is floored at slot_cap, so tiny-K overflow can't occur —
+    pick_levels would auto-switch to slots and see no overflow at all)."""
     rng = np.random.RandomState(3)
     n = 512
     pos = rng.uniform(-40, 40, (n, 2)).astype(np.float32)  # one dense blob
@@ -137,8 +157,8 @@ def test_bh_adapt_raises_neighbor_k_on_overflow(tmp_path, capsys):
                     np.full(n, 0.5, np.float32))
     cfg = base_cfg(tmp_path, particle_count=n, total_iterations=4,
                    force_model="bh", softening=10.0, bh_levels=3,
-                   bh_neighbor_k=4, log_every=2, field_width=100,
-                   field_height=100)
+                   bh_neighbor_k=4, bh_near="rows", log_every=2,
+                   field_width=100, field_height=100)
     run_simulation(cfg, quiet=False, state=st)
     out = capsys.readouterr().out
     assert "bh adapt" in out and "bh_neighbor_k" in out, out
