@@ -167,6 +167,11 @@ def run_simulation(cfg: SimConfig, *, quiet: bool = False,
             return _run_simulation_once(cfg, quiet=quiet, state=state,
                                         profile_dir=profile_dir)
         except (RuntimeError, jax.errors.JaxRuntimeError) as e:
+            from nbodyax.render import FrameWriteError
+            if isinstance(e, FrameWriteError):
+                # host IO failure (e.g. full disk): reloading a checkpoint
+                # cannot fix it — retrying would just burn maxRetries
+                raise
             last_err = e
             if attempt + 1 >= attempts:
                 raise
@@ -198,6 +203,16 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
     start_step = int(np.asarray(state.step))
 
     if cfg.shards > 1:
+        if cfg.compact_every:
+            # compaction changes capacity, which would resize every shard's
+            # slice mid-run; the sharded engines run at fixed capacity, so
+            # the knob is a no-op there — say so instead of silently keeping
+            # full-capacity cost forever on a merging run
+            import warnings
+            warnings.warn(
+                "compactEvery is ignored when shards > 1: sharded state "
+                "keeps its fixed capacity (dead slots are masked, not "
+                "compacted)")
         from nbodyax.sharding.mesh import (make_mesh, maybe_init_distributed,
                                            pad_to_shards, shard_state)
         maybe_init_distributed()
@@ -370,7 +385,7 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                         # barneshut's module docstring)
                         new = {}
                         thresh = max(64.0, 1e-3 * scal["alive"])
-                        if h[0] > thresh and cfg.bh_neighbor_k < 1024:
+                        if h[0] > thresh:
                             if cfg.bh_near == "slots":
                                 # the slots cap is max(K, slot_cap):
                                 # doubling K below that floor is a no-op
@@ -381,13 +396,23 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                                     (1 << cfg.bh_levels) ** cfg.dimensions))
                             else:
                                 eff = cfg.bh_neighbor_k
-                            new["bh_neighbor_k"] = min(1024, 2 * eff)
+                            if eff < 1024:
+                                # guard on the EFFECTIVE cap: when slot_cap
+                                # already sits at the 1024 ceiling, raising
+                                # the config K changes nothing and would
+                                # cost a futile multi-minute recompile
+                                new["bh_neighbor_k"] = min(1024, 2 * eff)
                         cell = h[3] / (1 << cfg.bh_levels)
+                        # refinement respects the dimension-aware grid cap
+                        # (3-D octrees cap at 7 levels: 2^(3*8) cells would
+                        # blow the documented VMEM/HBM budget — same bound
+                        # config.validate() enforces)
+                        max_adapt_lv = 7 if cfg.dimensions == 3 else 10
                         if 2.0 * h[2] > cfg.bh_ring * cell \
                                 and cfg.bh_levels > 2:
                             new["bh_levels"] = cfg.bh_levels - 1
                         elif (h[1] > thresh and "bh_neighbor_k" not in new
-                                and cfg.bh_levels < 10):
+                                and cfg.bh_levels < max_adapt_lv):
                             # crowded cells past slot_cap AND the per-body
                             # completion budget: only a finer grid (lower
                             # occupancy) brings those bodies back

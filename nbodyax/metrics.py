@@ -28,7 +28,6 @@ __all__ = ["conservation_scalars", "potential_energy", "StepMeter",
 
 
 @jax.jit
-@jax.jit
 def _conservation_vec(state: SimState):
     alive = state.mass > 0
     m = jnp.where(alive, state.mass, 0.0)

