@@ -37,6 +37,7 @@ class RunResult:
     pairs_per_sec: float
     wall_seconds: float
     frames_written: int
+    windows: int = 0  # device dispatch windows (scheduler diagnostics)
 
 
 def _run_k(step, state, k):
@@ -233,10 +234,15 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
     # host touch-points (log / checkpoint / compact) have a fixed cadence;
     # any stretch between them runs as ONE device dispatch (lax.fori_loop
     # over the jitted step) so host/dispatch latency never gates small-N
-    # throughput. Frames do NOT bound the window: when the frame cadence
-    # divides it, all of a window's frames render in-jit into one stacked
-    # buffer (fpw frames/dispatch) — on high-latency transports one dispatch
-    # per frame costs far more than the fused rasterizes.
+    # throughput. Windows run to the NEXT DUE EVENT (the nearest upcoming
+    # multiple of any cadence), clipped so no window straddles a frame
+    # boundary from a misaligned start — coprime cadences (logEvery=10,
+    # checkpointEvery=7) therefore cost O(events) dispatches, not the
+    # per-step cliff a gcd stride would degenerate to (gcd=1). Frames do
+    # NOT bound aligned windows: all of a window's frames render in-jit
+    # into one stacked buffer (fpw frames/dispatch) — on high-latency
+    # transports one dispatch per frame costs far more than the fused
+    # rasterizes.
     import math
     k_img = (cfg.save_image_every
              if cfg.save_images and cfg.save_image_every > 0 else 0)
@@ -244,37 +250,67 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                             cfg.compact_every, cfg.energy_every) if c]
     base = math.gcd(*cadences) if cadences else (16 * k_img if k_img else 64)
     if k_img and base % k_img:
-        base = math.gcd(base, k_img)    # misaligned: one frame per window
+        base = math.gcd(base, k_img)
+    # the RECURRING window size: when cadences share their gcd as an actual
+    # gap (the aligned common case) every window is `stride` long and rides
+    # the statically-compiled runner; other gaps use the dynamic runner
     stride = base
+
+    def next_window(i):
+        """Steps from i to the nearest due event (cadence multiple, end of
+        run, or — from a frame-misaligned start — the next frame boundary,
+        so every frame window starts at a multiple of the frame cadence)."""
+        k = cfg.total_iterations - i
+        for c in cadences:
+            k = min(k, c - i % c)
+        if not cadences:
+            k = min(k, stride - i % stride)
+        if k_img:
+            r = i % k_img
+            if r:
+                k = min(k, k_img - r)
+        return k
 
     host_loop = getattr(step, "_host_loop", False)
     runners = {}
     snap_runners = {}
-    # only the RECURRING window size (the stride) gets its own compile;
-    # one-off tails (total % stride) host-loop the already-compiled step —
-    # a handful of dispatches beats a multi-minute one-shot compile.
+    dyn_runner = []
+    # only the RECURRING window size (the stride) gets its own static
+    # compile; every other size (coprime-cadence gaps, one-off tails,
+    # misaligned-resume re-alignment) shares ONE dynamic-trip-count runner
+    # — a single extra compile instead of per-step dispatches or a compile
+    # per distinct gap.
     compiled_ks = {stride}
 
     from nbodyax.metrics import _conservation_vec
 
     def advance_k(s, k):
-        """k steps as one device dispatch (jitted fori_loop, cached per
-        recurring k); the split-dispatch step stays host-orchestrated.
-        Returns (state, conservation vec): the vec rides the window dispatch
-        (its device cost is noise) and its host fetch doubles as the
-        window's completion fence AND the log payload — one round-trip per
-        window instead of three."""
-        if host_loop or (k not in compiled_ks and k != 1):
+        """k steps as one device dispatch (jitted fori_loop: static trip
+        count for the recurring stride, traced trip count for every other
+        size); the split-dispatch step stays host-orchestrated. Returns
+        (state, conservation vec): the vec rides the window dispatch (its
+        device cost is noise) and its host fetch doubles as the window's
+        completion fence AND the log payload — one round-trip per window
+        instead of three."""
+        if host_loop:
             s = _run_k(step, s, k)
             return s, _conservation_vec(s)
-        run = runners.get(k)
-        if run is None:
+        if k in compiled_ks:
+            run = runners.get(k)
+            if run is None:
+                @jax.jit
+                def run(s, _k=k):
+                    out = jax.lax.fori_loop(0, _k, lambda i, st: step(st), s)
+                    return out, _conservation_vec(out)
+                runners[k] = run
+            return run(s)
+        if not dyn_runner:
             @jax.jit
-            def run(s, _k=k):
-                out = jax.lax.fori_loop(0, _k, lambda i, st: step(st), s)
+            def dyn(s, kk):
+                out = jax.lax.fori_loop(0, kk, lambda i, st: step(st), s)
                 return out, _conservation_vec(out)
-            runners[k] = run
-        return run(s)
+            dyn_runner.append(dyn)
+        return dyn_runner[0](s, np.int32(k))
 
     def advance_frame_window(s, k):
         """k steps + every due frame as ONE fused device dispatch. Frame
@@ -331,17 +367,17 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
+    windows = 0
     try:
         iteration = start_step
         while iteration < cfg.total_iterations:
-            # shorten a misaligned first window (resume from a checkpoint
-            # whose step is not a stride multiple — e.g. the cadences
-            # changed across the resume) so every later boundary lands on
-            # the absolute cadence multiples the due-checks below test;
-            # otherwise logs/checkpoints/compaction would silently never
-            # fire for the whole run
-            k = min(stride - iteration % stride,
-                    cfg.total_iterations - iteration)
+            # window to the next due event: absolute cadence multiples are
+            # always window boundaries (so the due-checks below fire), a
+            # misaligned first window (resume from a checkpoint whose step
+            # is off-cadence) re-aligns naturally, and coprime cadences
+            # produce O(events) windows instead of gcd=1 per-step dispatch
+            k = next_window(iteration)
+            windows += 1
             log_due = cfg.log_every and (iteration + k) % cfg.log_every == 0
             if writer is not None and iteration % cfg.save_image_every == 0:
                 # reference frame iteration_j holds *post-step-j* state: the
@@ -470,4 +506,4 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
         print(f"Time taken: {wall:.4f}")  # same format as nbody.cu:548
     return RunResult(state=state, steps_per_sec=meter.steps_per_sec,
                      pairs_per_sec=meter.pairs_per_sec, wall_seconds=wall,
-                     frames_written=frames)
+                     frames_written=frames, windows=windows)

@@ -13,7 +13,11 @@ TPU-native replacement for the reference's ``generateImage`` kernel and
 - Instead of one thread per body scanning its bbox, each live body scatters a
   static PATCH x PATCH pixel window with a masked ``min`` — fixed shapes, one
   fused XLA scatter, no races (min is associative; the reference writes a
-  constant 0 so min reproduces it exactly).
+  constant 0 so min reproduces it exactly). Discs wider than the window
+  escalate through two static-shaped tiers (gathered 4x-window scatter, then
+  dense full-image paint) so every disc renders complete — pinned
+  byte-for-byte against the external C++ oracle's frames
+  (tests/golden/ref_frames_n64.npz, 24 simultaneously oversized discs).
 - The reference's unguarded out-of-bounds reads (quirk Q5) are not reproduced.
 - Frames are written by a background host thread, preserving the reference's
   render-one-frame-behind overlap (second CUDA stream + deferred save,
@@ -48,18 +52,27 @@ BODY = 0          # nbody.cu:344
 
 
 @partial(jax.jit, static_argnames=("img_width", "img_height", "field_width",
-                                   "field_height", "patch", "big_k"))
+                                   "field_height", "patch", "mid_k", "big_k"))
 def rasterize(pos, mass, radius, *, img_width: int, img_height: int,
               field_width: int, field_height: int, patch: int = 32,
-              big_k: int = 8):
+              mid_k: int = 64, big_k: int = 8):
     """Render live bodies as filled discs. Returns uint8[img_height, img_width].
 
     ``patch`` is the static scatter window edge. Discs wider than the window
-    (dominant absorbers after many merges) are handled by a second dense
-    full-image pass over the ``big_k`` largest such bodies, so they render
-    complete instead of cropped — with static shapes, no recompiles. Beyond
-    ``big_k`` *simultaneously* oversized discs the remainder degrade to the
-    cropped patch (cosmetic; big_k=8 covers any realistic merge outcome).
+    (dominant absorbers after many merges, or dense small-N scenes) escalate
+    through two further static-shaped tiers so they render complete instead of
+    cropped, with no recompiles:
+
+    - mid tier: the ``mid_k`` largest discs wider than ``patch`` (but within
+      ``4*patch``) re-scatter with a ``4*patch`` window — ``mid_k * (4P)^2``
+      pixel slots, noise next to the main ``N * P^2`` pass;
+    - dense tier: the ``big_k`` largest discs wider than ``4*patch`` paint
+      over the whole image.
+
+    Only beyond ``mid_k`` *simultaneously* mid-sized (or ``big_k`` huge) discs
+    does the remainder degrade to the cropped lower tier — 64 concurrent
+    over-patch discs exceeds any realistic merge outcome by an order of
+    magnitude (and tests/golden pins a 24-oversized-disc scene exactly).
     """
     n = pos.shape[0]
     fw2, fh2 = 2.0 * field_width, 2.0 * field_height
@@ -77,38 +90,61 @@ def rasterize(pos, mass, radius, *, img_width: int, img_height: int,
     y_min = jnp.where(cy - r_px < 0, 0, (cy - r_px).astype(jnp.int32))
     y_max = jnp.where(cy + r_px >= img_height, img_height,
                       (cy + r_px).astype(jnp.int32))
-
-    # static patch window anchored at the (unclamped) bbox corner
-    ax = (cx - r_px).astype(jnp.int32)                 # trunc toward zero
-    ay = (cy - r_px).astype(jnp.int32)
-    off = jax.lax.broadcasted_iota(jnp.int32, (patch, patch), 0)
-    offx = jax.lax.broadcasted_iota(jnp.int32, (patch, patch), 1)
-    px = ax[:, None, None] + offx[None]                # [N,P,P]
-    py = ay[:, None, None] + off[None]
-
-    dx = px - cx[:, None, None]
-    dy = py - cy[:, None, None]
     r2i = (r_px * r_px).astype(jnp.int32)              # int cast, nbody.cu:338
-    inside = (dx * dx + dy * dy) <= r2i[:, None, None]
-    in_box = ((px >= x_min[:, None, None]) & (px < x_max[:, None, None]) &
-              (py >= y_min[:, None, None]) & (py < y_max[:, None, None]))
-    paint = inside & in_box & (mass > 0)[:, None, None]
 
-    flat = py * img_width + px
-    # out-of-image or unpainted -> index out of range, dropped by scatter
-    flat = jnp.where(paint & (px >= 0) & (px < img_width) &
-                     (py >= 0) & (py < img_height),
-                     flat, img_width * img_height)
+    def scatter_discs(img, b_cx, b_cy, b_r_px, b_r2i, b_x_min, b_x_max,
+                      b_y_min, b_y_max, b_live, win):
+        """Paint each live disc through a win x win window anchored at its
+        (unclamped, truncated) bbox corner, via one masked min-scatter.
+        Reference pixel math throughout; min is associative and the body
+        value 0 wins, so partial double-painting across tiers is harmless."""
+        ax = (b_cx - b_r_px).astype(jnp.int32)         # trunc toward zero
+        ay = (b_cy - b_r_px).astype(jnp.int32)
+        off = jax.lax.broadcasted_iota(jnp.int32, (win, win), 0)
+        offx = jax.lax.broadcasted_iota(jnp.int32, (win, win), 1)
+        px = ax[:, None, None] + offx[None]            # [K,W,W]
+        py = ay[:, None, None] + off[None]
+
+        dx = px - b_cx[:, None, None]
+        dy = py - b_cy[:, None, None]
+        inside = (dx * dx + dy * dy) <= b_r2i[:, None, None]
+        in_box = ((px >= b_x_min[:, None, None]) &
+                  (px < b_x_max[:, None, None]) &
+                  (py >= b_y_min[:, None, None]) &
+                  (py < b_y_max[:, None, None]))
+        paint = inside & in_box & b_live[:, None, None]
+
+        flat = py * img_width + px
+        # out-of-image or unpainted -> index out of range, dropped by scatter
+        flat = jnp.where(paint & (px >= 0) & (px < img_width) &
+                         (py >= 0) & (py < img_height),
+                         flat, img_width * img_height)
+        return img.at[flat.reshape(-1)].min(jnp.uint8(BODY), mode="drop")
+
+    live = mass > 0
     img = jnp.full((img_width * img_height,), BACKGROUND, jnp.uint8)
-    img = img.at[flat.reshape(-1)].min(jnp.uint8(BODY), mode="drop")
+    img = scatter_discs(img, cx, cy, r_px, r2i, x_min, x_max, y_min, y_max,
+                        live, patch)
+
+    # mid tier: the top mid_k discs the base patch crops (still within the
+    # 4x window) are GATHERED, then re-scattered as [mid_k, 4P, 4P] — static
+    # shapes, cost mid_k*(4P)^2 slots regardless of N
+    diam = 2.0 * r_px + 2.0
+    mid_k = min(mid_k, n)
+    if mid_k > 0:
+        over_mid = (diam > patch) & (diam <= 4 * patch) & live
+        vals, sel = jax.lax.top_k(jnp.where(over_mid, r_px, -1.0), mid_k)
+        img = scatter_discs(img, cx[sel], cy[sel], r_px[sel], r2i[sel],
+                            x_min[sel], x_max[sel], y_min[sel], y_max[sel],
+                            vals > 0, 4 * patch)
+
     img = img.reshape(img_height, img_width)
 
-    # dense pass for discs the patch window would crop: top big_k oversized
-    # bodies painted over the whole image with the same reference pixel math
-    # (min semantics: body value 0 wins, double-painting is harmless)
+    # dense tier for discs even the mid window would crop: top big_k painted
+    # over the whole image with the same reference pixel math
     big_k = min(big_k, n)
     if big_k > 0:
-        oversized = (2.0 * r_px + 2.0 > patch) & (mass > 0)
+        oversized = (diam > 4 * patch) & live
         vals, sel = jax.lax.top_k(jnp.where(oversized, r_px, -1.0), big_k)
         ys = jax.lax.broadcasted_iota(jnp.int32, (img_height, img_width), 0)
         xs = jax.lax.broadcasted_iota(jnp.int32, (img_height, img_width), 1)

@@ -30,6 +30,14 @@ CONFIGS = [
 ]
 
 
+# frame fixture: the dense scene rendered by the oracle's serial
+# generateImage/saveImageToDisk implementation (nbody.cu:294-371 semantics).
+# 512x512 on the 5000-field makes max r_px ~20 (disc diameter > the
+# rasterizer's default 32-pixel patch after growth), so the oversized-disc
+# dense pass is exercised too.
+FRAMES = ("ref_frames_n64", CONFIGS[0], 512, 512, 5)
+
+
 def build():
     subprocess.run(["g++", "-O2", "-std=c++17", "-o", BIN, SRC], check=True)
 
@@ -53,7 +61,36 @@ def run(name, n, steps, fw, fh, min_m, max_m, min_r, max_r, growth, dt, seed):
           f"{(mass[-1] > 0).sum()}/{n}")
 
 
+def run_frames():
+    import tempfile
+
+    name, cfg, img_w, img_h, every = FRAMES
+    (_, n, steps, fw, fh, min_m, max_m, min_r, max_r, growth, dt, seed) = cfg
+    with tempfile.TemporaryDirectory() as td:
+        raw_path = os.path.join(td, "traj.raw")
+        subprocess.run([BIN, str(n), str(steps), str(fw), str(fh), min_m,
+                        max_m, min_r, max_r, growth, dt, str(seed), raw_path,
+                        str(img_w), str(img_h), str(every), td], check=True)
+        labels = list(range(0, steps, every))
+        frames, raw_bytes = [], []
+        for s in labels:
+            data = open(os.path.join(td, f"iteration_{s}.ppm"), "rb").read()
+            raw_bytes.append(data)
+            header = b"P5\n%d %d\n255\n" % (img_w, img_h)
+            assert data[:len(header)] == header, data[:32]
+            frames.append(np.frombuffer(data[len(header):], np.uint8)
+                          .reshape(img_h, img_w))
+    out = os.path.join(HERE, name + ".npz")
+    np.savez_compressed(
+        out, frames=np.stack(frames), steps=np.array(labels, np.int64),
+        img=np.array([img_w, img_h], np.int64),
+        field=np.array([fw, fh], np.int64),
+        file_bytes=np.stack([np.frombuffer(b, np.uint8) for b in raw_bytes]))
+    print(f"wrote {out}: {len(frames)} frames {img_w}x{img_h}")
+
+
 if __name__ == "__main__":
     build()
     for c in CONFIGS:
         run(*c)
+    run_frames()

@@ -54,6 +54,63 @@ def test_misaligned_resume_keeps_cadence(tmp_path):
     assert [l["step"] for l in lines] == [5, 10, 15, 20]
 
 
+def test_coprime_cadences_run_in_event_count_windows(tmp_path):
+    """logEvery=10, checkpointEvery=7 (gcd 1) must NOT degenerate to one
+    dispatch per step: the scheduler windows to the next due event, so 70
+    steps cost the 16 event gaps — all cadences still firing exactly."""
+    cfg = base_cfg(tmp_path, log_every=10, checkpoint_every=7,
+                   total_iterations=70,
+                   checkpoint_path=str(tmp_path / "ck"))
+    res = run_simulation(cfg, quiet=True)
+    # events = multiples of 7 or 10 up to 70: 7,10,14,20,21,28,30,35,40,
+    # 42,49,50,56,60,63,70 -> 16 windows
+    assert res.windows == 16
+    lines = [json.loads(l) for l in open(cfg.log_path).read().splitlines()]
+    assert [l["step"] for l in lines] == [10, 20, 30, 40, 50, 60, 70]
+    from nbodyax.io.checkpoint import latest_checkpoint
+    ck = latest_checkpoint(cfg.checkpoint_path)
+    assert ck is not None and "70" in os.path.basename(ck)
+
+
+def test_coprime_cadences_match_per_step_results(tmp_path):
+    """Dynamic-trip-count windows must be bit-for-bit the same physics as
+    per-step dispatch."""
+    r1 = run_simulation(base_cfg(tmp_path / "a", log_every=1,
+                                 total_iterations=21), quiet=True)
+    r2 = run_simulation(base_cfg(tmp_path / "b", log_every=3,
+                                 checkpoint_every=7, total_iterations=21,
+                                 checkpoint_path=str(tmp_path / "ck")),
+                        quiet=True)
+    assert r2.windows == 9  # gaps at 3,6,7,9,12,14,15,18,21
+    np.testing.assert_allclose(np.asarray(r1.state.pos),
+                               np.asarray(r2.state.pos), rtol=1e-6, atol=1e-3)
+
+
+def test_coprime_cadence_with_frames(tmp_path):
+    """Frame boundaries clip misaligned windows (every frame window starts
+    at a frame-cadence multiple), so frames stay correct under coprime
+    cadences too."""
+    from nbodyax.tools import read_pgm
+
+    common = dict(save_images=True, save_image_every=2, total_iterations=10,
+                  particle_count=64)
+    cfg = base_cfg(tmp_path / "c", log_every=5,
+                   image_path=str(tmp_path / "c" / "frames"),
+                   log_path=str(tmp_path / "c" / "m.jsonl"), **common)
+    cfg1 = base_cfg(tmp_path / "r", log_every=1,
+                    image_path=str(tmp_path / "r" / "frames"),
+                    log_path=str(tmp_path / "r" / "m.jsonl"), **common)
+    run_simulation(cfg, quiet=True)
+    run_simulation(cfg1, quiet=True)
+    names = sorted(os.listdir(tmp_path / "c" / "frames"))
+    assert names == sorted(os.listdir(tmp_path / "r" / "frames"))
+    assert len(names) == 5
+    for nm in names:
+        np.testing.assert_array_equal(
+            read_pgm(str(tmp_path / "c" / "frames" / nm)),
+            read_pgm(str(tmp_path / "r" / "frames" / nm)), err_msg=nm)
+
+
 def test_no_cadence_runs_to_completion(tmp_path):
     cfg = base_cfg(tmp_path, log_every=0, total_iterations=100)
     res = run_simulation(cfg, quiet=True)
