@@ -53,7 +53,8 @@ def build_accum_fn(backend: str, p: PhysicsParams, cfg=None):
                        ring=cfg.bh_ring, neighbor_k=cfg.bh_neighbor_k,
                        order=cfg.bh_order,
                        far=getattr(cfg, "bh_far", "fmm"),
-                       near=_resolve_near(cfg))
+                       near=_resolve_near(cfg),
+                       comp_cap=getattr(cfg, "bh_comp_cap", 0))
     backend = resolve_backend(backend)
     if backend == "jnp":
         return partial(pair_accumulators, eps=p.eps, growth_rate=p.growth_rate,

@@ -120,6 +120,14 @@ class SimConfig:
                                           # gathers + exact-target annulus)
                                           # | direct (gathered per-cell
                                           # windows, exact target)
+    bh_comp_cap: int = 0                  # completion-pass budget: bodies
+                                          # past their cell's fast-pass slot
+                                          # cap finished exactly per-body
+                                          # (0 = auto: ~n/16, raised
+                                          # count-aware by pick_levels /
+                                          # bhAdapt when a scene's crowded
+                                          # cells would otherwise drop
+                                          # bodies past it)
     bh_adapt: bool = True                 # driver self-tuning between log
                                           # windows: double bhNeighborK when
                                           # bh_overflow is logged, coarsen
@@ -187,6 +195,8 @@ class SimConfig:
                     f"bhLevels must be 0 (auto) or in [2, {max_lv}]")
             if self.bh_neighbor_k < 0:
                 raise ConfigError("bhNeighborK must be >= 0 (0 = auto)")
+            if self.bh_comp_cap < 0:
+                raise ConfigError("bhCompCap must be >= 0 (0 = auto)")
             if self.bh_order not in (1, 2):
                 raise ConfigError("bhOrder must be 1 or 2")
             if self.bh_far not in ("fmm", "direct"):
@@ -226,6 +236,7 @@ _KEYS = {
     "bhLevels": ("bh_levels", _stoi),
     "bhRing": ("bh_ring", _stoi),
     "bhNeighborK": ("bh_neighbor_k", _stoi),
+    "bhCompCap": ("bh_comp_cap", _stoi),
     "bhOrder": ("bh_order", _stoi),
     # (bhFar once used bare ``str`` here, which explodes under the
     # parser(value, key) call convention — keep the two-arg lambda form)

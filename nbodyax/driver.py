@@ -71,14 +71,21 @@ def resolve_bh_config(cfg: SimConfig, capacity: int = 0,
     if cfg.bh_levels == 0 or cfg.bh_near == "auto":
         if state is not None:
             from nbodyax.physics.barneshut import pick_levels
-            lv, near = pick_levels(
+            lv, near, kk, comp = pick_levels(
                 state.pos, state.mass, neighbor_k=cfg.bh_neighbor_k,
                 ring=cfg.bh_ring, near=cfg.bh_near, levels=cfg.bh_levels)
-            cfg = dataclasses.replace(cfg, bh_near=near,
-                                      bh_levels=cfg.bh_levels or lv)
+            # kk/comp are count-aware EXACT for this state (zero partner-cap
+            # overflow, zero completion-budget drop — collisions are never
+            # silently truncated); pinned K/compCap pass through untouched
+            cfg = dataclasses.replace(
+                cfg, bh_near=near, bh_levels=cfg.bh_levels or lv,
+                bh_neighbor_k=kk,
+                bh_comp_cap=cfg.bh_comp_cap or comp)
             if not quiet:
                 print(f"bh auto-selected: bhLevels={cfg.bh_levels} "
-                      f"bhNear={cfg.bh_near}")
+                      f"bhNear={cfg.bh_near} bhNeighborK={kk}"
+                      + (f" bhCompCap={cfg.bh_comp_cap}"
+                         if cfg.bh_comp_cap else ""))
         elif cfg.bh_near == "auto":
             from nbodyax.physics.barneshut import _SLOTS_PREFERRED_N
             near = "slots" if capacity >= _SLOTS_PREFERRED_N else "rows"
@@ -368,6 +375,9 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
     windows = 0
+    # bhAdapt persistence trackers: overflow below the noise floor adapts
+    # on the SECOND consecutive nonzero health check (see the adapt block)
+    prev_overflow = prev_dropped = 0.0
     try:
         iteration = start_step
         while iteration < cfg.total_iterations:
@@ -407,24 +417,32 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                     h = np.asarray(bh_health(
                         state.pos, state.mass, state.radius,
                         levels=cfg.bh_levels, neighbor_k=cfg.bh_neighbor_k,
-                        ring=cfg.bh_ring, near=cfg.bh_near))
+                        ring=cfg.bh_ring, near=cfg.bh_near,
+                        comp_cap=cfg.bh_comp_cap))
                     scal["bh_overflow"] = int(h[0] + h[1])
                     if cfg.bh_adapt:
                         # self-tuning between windows (bounded recompiles):
                         # collapsing/merging runs drift out of any fixed
-                        # (levels, K) envelope — widen K on partner-cap
-                        # overflow (the only term K touches; a futile
-                        # doubling would cost a multi-minute recompile),
-                        # refine levels on completion-budget overflow,
-                        # coarsen levels when grown radii outrun the
-                        # ring's collision coverage (approximation 1/2 in
-                        # barneshut's module docstring)
+                        # (levels, K) envelope — widen K to the probe's
+                        # count-aware minimal cap on partner-cap overflow
+                        # (one recompile makes the near field exact again;
+                        # overflow is a binary collision-physics error, so
+                        # ANY persistent overflow adapts, with a one-check
+                        # delay below the 64-body noise floor so a single
+                        # transient body crossing a cell boundary doesn't
+                        # buy a multi-minute recompile), refine levels on
+                        # completion-budget overflow, coarsen levels when
+                        # grown radii outrun the ring's collision coverage
+                        # (approximation 1/2 in barneshut's docstring)
                         new = {}
-                        thresh = max(64.0, 1e-3 * scal["alive"])
-                        if h[0] > thresh:
+                        noise = max(64.0, 1e-3 * scal["alive"])
+                        persistent = h[0] > noise or (
+                            h[0] > 0 and prev_overflow > 0)
+                        prev_overflow = h[0]
+                        if persistent:
                             if cfg.bh_near == "slots":
                                 # the slots cap is max(K, slot_cap):
-                                # doubling K below that floor is a no-op
+                                # raising K below that floor is a no-op
                                 from nbodyax.physics.barneshut import \
                                     slot_cap
                                 eff = max(cfg.bh_neighbor_k, slot_cap(
@@ -432,12 +450,14 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                                     (1 << cfg.bh_levels) ** cfg.dimensions))
                             else:
                                 eff = cfg.bh_neighbor_k
-                            if eff < 1024:
-                                # guard on the EFFECTIVE cap: when slot_cap
-                                # already sits at the 1024 ceiling, raising
-                                # the config K changes nothing and would
-                                # cost a futile multi-minute recompile
-                                new["bh_neighbor_k"] = min(1024, 2 * eff)
+                            need = min(1024, 8 * -(-int(h[4]) // 8))
+                            if eff < need:
+                                # widen straight to the measured minimum
+                                # (h[4]); a guard on the EFFECTIVE cap:
+                                # when slot_cap already covers the need,
+                                # raising the config K changes nothing and
+                                # would cost a futile multi-minute recompile
+                                new["bh_neighbor_k"] = need
                         cell = h[3] / (1 << cfg.bh_levels)
                         # refinement respects the dimension-aware grid cap
                         # (3-D octrees cap at 7 levels: 2^(3*8) cells would
@@ -447,12 +467,29 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                         if 2.0 * h[2] > cfg.bh_ring * cell \
                                 and cfg.bh_levels > 2:
                             new["bh_levels"] = cfg.bh_levels - 1
-                        elif (h[1] > thresh and "bh_neighbor_k" not in new
-                                and cfg.bh_levels < max_adapt_lv):
+                        elif ((h[1] > noise
+                               or (h[1] > 0 and prev_dropped > 0))
+                                and "bh_neighbor_k" not in new):
                             # crowded cells past slot_cap AND the per-body
-                            # completion budget: only a finer grid (lower
-                            # occupancy) brings those bodies back
-                            new["bh_levels"] = cfg.bh_levels + 1
+                            # completion budget: a finer grid (lower
+                            # occupancy) brings those bodies back — any
+                            # persistent drop adapts (those bodies get NO
+                            # physics at all), same policy as widening. At
+                            # the level cap, widen the completion budget
+                            # to the probe's measured population instead
+                            # (+12.5% slack, 1024-tiered — mirrors
+                            # pick_levels' startup choice)
+                            if cfg.bh_levels < max_adapt_lv:
+                                new["bh_levels"] = cfg.bh_levels + 1
+                            else:
+                                pop = int(h[5])
+                                need_comp = min(state.capacity, 1024 * -(
+                                    -(pop + pop // 8) // 1024))
+                                if need_comp > (cfg.bh_comp_cap or min(
+                                        state.capacity,
+                                        max(1024, state.capacity // 16))):
+                                    new["bh_comp_cap"] = need_comp
+                        prev_dropped = h[1]
                         if new:
                             from dataclasses import replace as _dc
                             cfg = _dc(cfg, **new)

@@ -76,9 +76,12 @@ from nbodyax.physics.pairwise import (PairAccumulators, combine_accumulators,
 
 __all__ = ["bh_accumulators", "bh_cellrange_accumulators",
            "auto_levels", "auto_neighbor_k", "pick_levels",
-           "overflow_count", "bh_health", "slot_cap"]
+           "overflow_count", "bh_health", "slot_cap", "needed_neighbor_k"]
 
-_NEG_INF = jnp.float32(-jnp.inf)
+# np (not jnp) scalar: a module-level jnp value would initialize the JAX
+# backend at import time, which breaks multi-host bring-up (jax.distributed
+# must initialize first) — same convention as step.GRAV_CONSTANT
+_NEG_INF = np.float32(-np.inf)
 
 
 def auto_levels(n: int, target_occupancy: int = 0,
@@ -142,9 +145,12 @@ _SLOTS_PREFERRED_N = 1_500_000
 def pick_levels(pos, mass, *, neighbor_k: int = 0, ring: int = 1,
                 max_levels: int = 10, tolerance: float = 0.01,
                 near: str = "auto", levels: int = 0) -> tuple:
-    """Density-aware finest-level AND near-engine choice from an actual
-    state. Returns ``(levels, near)`` with ``near`` resolved to "rows" or
-    "slots".
+    """Density-aware finest-level, near-engine, partner-cap AND
+    completion-budget choice from an actual state. Returns
+    ``(levels, near, k, comp_cap)`` with ``near`` resolved to "rows" or
+    "slots", ``k`` a COUNT-AWARE exact partner cap (auto mode) or the
+    pinned ``neighbor_k``, and ``comp_cap`` a count-aware completion
+    budget (0 when the default ~n/16 budget already drops nothing).
 
     ``auto_levels`` assumes near-uniform density; clustered scenes (galaxy
     cores) can overflow the near-field partner cap at that occupancy. This
@@ -158,12 +164,27 @@ def pick_levels(pos, mass, *, neighbor_k: int = 0, ring: int = 1,
     the N=1M galaxy runs overflow-free WITHOUT refining, 2x faster than
     the refined rows grid), and only then refines the grid. The default 1%
     tolerance keeps truncation within the model's ring=1 far-field
-    accuracy class. The driver calls this once at startup when
-    ``bhLevels=0``; the logged ``bh_overflow`` metric catches later
-    density drift.
+    accuracy class — but only as the ENGINE/LEVEL selection criterion.
 
-    A nonzero ``levels`` pins the grid (no refinement): only the engine is
-    chosen, probed at that level."""
+    The returned ``k`` then makes the near field EXACT: with auto K
+    (``neighbor_k=0``) the heuristic cap is raised to the measured per-cell
+    (slots) / per-window-row (rows) maximum occupancy, so zero bodies are
+    invisible as partners — the reference evaluates the collision overlap
+    test for every pair unconditionally (nbody.cu:196-226), and truncating
+    collisions is a binary physics error the 1% force tolerance does not
+    license. When the needed cap is disproportionate (>4x the heuristic — a
+    pathologically crowded cell) or the completion budget still drops
+    bodies, the grid refines instead; at the level cap any residual
+    completion drop is covered by widening ``comp_cap`` to the measured
+    completion-pass population (+12.5% drift slack, 1024-tiered), so even
+    a scene whose densest cell out-crowds the finest grid keeps exact
+    near-field physics — only the 1024 partner-slot ceiling itself can
+    leave residual overflow (and the driver's logged ``bh_overflow``
+    reports it). The driver calls this once at startup when ``bhLevels=0``;
+    bhAdapt re-widens from the same probe on later density drift.
+
+    A nonzero ``levels`` pins the grid (no refinement): only the engine and
+    cap are chosen, probed at that level."""
     n = pos.shape[0]
     dim = pos.shape[-1]
     lv = levels or auto_levels(n, max_levels=max_levels, dim=dim)
@@ -178,18 +199,39 @@ def pick_levels(pos, mass, *, neighbor_k: int = 0, ring: int = 1,
                 pos, mass, levels=lv, neighbor_k=k, ring=ring, near=eng))
         return probed[lv, eng]
 
+    def exact_k(lv, eng):
+        """Count-aware caps: (resolved k, still-dropped completion bodies,
+        heuristic k, completion-pass population)."""
+        k_auto = auto_neighbor_k(n, lv, ring, dim, eng)
+        k_need, dropped, i_over = (int(v) for v in needed_neighbor_k(
+            pos, mass, levels=lv, ring=ring, near=eng))
+        return max(k_auto, 8 * -(-k_need // 8)), dropped, k_auto, i_over
+
     if near == "auto":
         order = (("slots", "rows") if n >= _SLOTS_PREFERRED_N
                  else ("rows", "slots"))
         for eng in order:
             if ov_at(lv, eng) <= n * tolerance:
-                return lv, eng
-        near = "slots"
-    while lv < cap:
-        if ov_at(lv, near) <= n * tolerance:
+                near = eng
+                break
+        else:
+            near = "slots"
+    while lv < cap and ov_at(lv, near) > n * tolerance:
+        lv += 1
+    if neighbor_k:
+        return lv, near, neighbor_k, 0
+    while True:
+        k, dropped, k_auto, i_over = exact_k(lv, near)
+        if lv >= cap or (k <= min(1024, 4 * k_auto) and dropped == 0):
             break
         lv += 1
-    return lv, near
+    comp = 0
+    if dropped:
+        # residual completion drop at the level cap: cover the measured
+        # completion-pass population exactly (+12.5% density-drift slack,
+        # rounded to the 1024 tier _tiered budgets use)
+        comp = min(n, 1024 * -(-(i_over + i_over // 8) // 1024))
+    return lv, near, min(1024, k), comp
 
 
 def _extent(pos, alive):
@@ -700,8 +742,13 @@ def slot_cap(n: int, ncells: int) -> int:
     return int(min(1024, max(_CI_CAP, 8 * -(-2 * occ // 8))))
 
 
-def _completion_cap(n: int) -> int:
-    """Static budget of crowded-cell bodies finished by the per-body pass."""
+def _completion_cap(n: int, cap: int = 0) -> int:
+    """Static budget of crowded-cell bodies finished by the per-body pass.
+    A nonzero ``cap`` (the ``bhCompCap`` knob; pick_levels raises it
+    count-aware when the default would drop bodies) overrides the ~n/16
+    heuristic."""
+    if cap:
+        return min(n, cap)
     return min(n, max(1024, n // 16))
 
 
@@ -725,11 +772,11 @@ def _tiered(ps, n, run, carry):
         carry)
 
 
-def _completion_slice(over, n, comp_range):
+def _completion_slice(over, n, comp_range, comp_cap: int = 0):
     """The (sliced) static-size list of sorted-positions needing the exact
     per-body completion pass; fill value n marks unused slots."""
     if comp_range is None:
-        size, base, length = _completion_cap(n), None, None
+        size, base, length = _completion_cap(n, comp_cap), None, None
     else:
         base, length, size = comp_range
     ps = jnp.nonzero(over, size=size, fill_value=n)[0].astype(jnp.int32)
@@ -742,7 +789,8 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
                       growth_rate, mode, k, ci_cap: int = _CI_CAP,
                       chunk: int = 8192, _structure=None,
                       cell_range=None, comp_range=None,
-                      near: str = "rows") -> PairAccumulators:
+                      near: str = "rows",
+                      comp_cap: int = 0) -> PairAccumulators:
     """Near field for the FULL body set (i side == partner set): per-CELL
     shared windows, via one of two engines.
 
@@ -774,10 +822,19 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
 
     Each cell's first ``ci_cap`` sorted bodies ride the per-cell pass; the
     rest (only cells beyond 2x the target occupancy have any) are finished
-    EXACTLY by the per-body pass (_near_field) over up to _completion_cap(n)
-    such bodies, reusing the same sorted structure. Only past that ~10x
-    headroom budget do bodies lose their near field — ``overflow_count``
-    reports them alongside the partner-cap overflow.
+    by the per-body pass (_near_field) over up to
+    _completion_cap(n, comp_cap) such bodies, reusing the same sorted
+    structure — identical windows and pair math, with one engine-specific
+    coverage nuance: completion caps partners per window ROW ((2*ring+1)*S
+    for slots, ``k`` for rows), whereas the slots fast pass caps them per
+    CELL (S each). When some cell holds more than S bodies, a completion
+    body can therefore see hot-cell partners ranked [S, (2*ring+1)*S) that
+    slot-pass bodies in the same window cannot — a truncation-shape
+    difference, not extra error: under auto knobs pick_levels sizes S to
+    the densest cell (zero partner-cap overflow), where the two coverages
+    coincide exactly. Only past the completion budget do bodies lose their
+    near field — ``overflow_count`` reports them alongside the partner-cap
+    overflow.
 
     ``cell_range=(base, count)`` (traced base, static power-of-two count)
     restricts the per-cell pass to that contiguous cell slice, and
@@ -960,7 +1017,7 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
     srank = (jnp.arange(n, dtype=jnp.int32)
              - starts[jnp.clip(s_cell, 0, ncells - 1)])
     over = (srank >= ci_cap) & (s_cell < ncells)
-    ps = _completion_slice(over, n, comp_range)
+    ps = _completion_slice(over, n, comp_range, comp_cap)
 
     def run_completion(out, psx):
         gi = order[jnp.clip(psx, 0, n - 1)]  # fills -> a real body, dropped
@@ -1551,7 +1608,8 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
                    levels, ring, neighbor_k, order, chunk,
                    shard=None, nshards: int = 1,
                    ci_cap: int = 0, far: str = "fmm",
-                   near: str = "rows") -> PairAccumulators:
+                   near: str = "rows",
+                   comp_cap: int = 0) -> PairAccumulators:
     """Near+far per-cell evaluation over the full body set (or, with
     ``shard``/``nshards``, over one contiguous 1/nshards cell slice plus
     1/nshards of the completion list — every body's accumulators are then
@@ -1581,7 +1639,7 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
                 f"shards ({nshards}) must divide the finest grid's "
                 f"{ncells} cells — use a power-of-two shard count or "
                 f"raise bhLevels")
-        comp_len = -(-_completion_cap(n) // nshards)
+        comp_len = -(-_completion_cap(n, comp_cap) // nshards)
         cell_range = (shard * (ncells // nshards), ncells // nshards)
         comp_range = (shard * comp_len, comp_len, comp_len * nshards)
     else:
@@ -1591,7 +1649,8 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
                                  eps2, jnp.float32(growth_rate), mode,
                                  neighbor_k, ci_cap=cap, chunk=c,
                                  _structure=structure, cell_range=cell_range,
-                                 comp_range=comp_range, near=near)
+                                 comp_range=comp_range, near=near,
+                                 comp_cap=comp_cap)
 
     if far == "fmm":
         # Hybrid FMM: local expansions with interaction lists at ring+1
@@ -1636,7 +1695,7 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
             a_valid[:, None],
             jnp.pad(aslots, ((0, 1), (0, 0)))[a_idx], 0.0),
             ((0, 1), (0, 0)))
-        ps = _completion_slice(over, n, comp_range)
+        ps = _completion_slice(over, n, comp_range, comp_cap)
 
         def run_ann_completion(av, psx):
             gi = order_idx[jnp.clip(psx, 0, n - 1)]
@@ -1662,7 +1721,7 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
         srank = (jnp.arange(n, dtype=jnp.int32)
                  - starts[jnp.clip(s_cell, 0, ncells - 1)])
         over = (srank >= cap) & (s_cell < ncells)
-        ps = _completion_slice(over, n, comp_range)
+        ps = _completion_slice(over, n, comp_range, comp_cap)
 
         def run_far_completion(fv, psx):
             gi = order_idx[jnp.clip(psx, 0, n - 1)]
@@ -1686,7 +1745,8 @@ def bh_accumulators(pos, vel, mass, radius, *, eps: float = 0.0,
                     levels: int = 0, ring: int = 1, neighbor_k: int = 64,
                     order: int = 2, chunk: int = 8192,
                     ci_cap: int = 0, far: str = "fmm",
-                    near: str = "rows") -> PairAccumulators:
+                    near: str = "rows",
+                    comp_cap: int = 0) -> PairAccumulators:
     """Drop-in accum_fn (same interface as pair_accumulators): approximate
     far-field force + exact near-field force/collision accumulators.
 
@@ -1705,7 +1765,8 @@ def bh_accumulators(pos, vel, mass, radius, *, eps: float = 0.0,
                           eps2=jnp.float32(eps) ** 2,
                           growth_rate=growth_rate, mode=mode, levels=levels,
                           ring=ring, neighbor_k=neighbor_k, order=order,
-                          chunk=chunk, ci_cap=ci_cap, far=far, near=near)
+                          chunk=chunk, ci_cap=ci_cap, far=far, near=near,
+                          comp_cap=comp_cap)
 
 
 def bh_cellrange_accumulators(pos, vel, mass, radius, shard, nshards: int, *,
@@ -1714,7 +1775,8 @@ def bh_cellrange_accumulators(pos, vel, mass, radius, shard, nshards: int, *,
                               ring: int = 1, neighbor_k: int = 64,
                               order: int = 2, chunk: int = 8192,
                               far: str = "fmm",
-                              near: str = "rows") -> PairAccumulators:
+                              near: str = "rows",
+                              comp_cap: int = 0) -> PairAccumulators:
     """One cell-range shard's contribution to the global accumulators.
 
     Full-length [n] accumulators holding real values only for bodies whose
@@ -1733,12 +1795,13 @@ def bh_cellrange_accumulators(pos, vel, mass, radius, shard, nshards: int, *,
                           growth_rate=growth_rate, mode=mode, levels=levels,
                           ring=ring, neighbor_k=neighbor_k, order=order,
                           chunk=chunk, shard=shard, nshards=nshards, far=far,
-                          near=near)
+                          near=near, comp_cap=comp_cap)
 
 
-@partial(jax.jit, static_argnames=("levels", "neighbor_k", "ring", "near"))
+@partial(jax.jit, static_argnames=("levels", "neighbor_k", "ring", "near",
+                                   "comp_cap"))
 def overflow_count(pos, mass, *, levels: int = 0, neighbor_k: int = 0,
-                   ring: int = 1, near: str = "rows"):
+                   ring: int = 1, near: str = "rows", comp_cap: int = 0):
     """Diagnostic: how many live bodies are invisible to some part of the
     near field. Two terms:
 
@@ -1760,11 +1823,39 @@ def overflow_count(pos, mass, *, levels: int = 0, neighbor_k: int = 0,
     0 means the near field is exact for the current distribution."""
     k_over, dropped = _overflow_terms(pos, mass, levels=levels,
                                       neighbor_k=neighbor_k, ring=ring,
-                                      near=near)
+                                      near=near, comp_cap=comp_cap)
     return k_over + dropped
 
 
-def _overflow_terms(pos, mass, *, levels, neighbor_k, ring, near):
+def _occupancy(pos, mass, levels, ring, near, comp_cap=0):
+    """Shared overflow/cap-probe plumbing: (per-cap-unit occupancy,
+    i-slot overflow total, completion-budget drop). The first is per CELL
+    for the slots engine, per (2*ring+1)-cell window ROW for rows — the
+    unit ``neighbor_k`` caps in each engine. The second is the total body
+    count past the fast passes' per-cell slot_cap — the completion-pass
+    population a count-aware ``bhCompCap`` must cover."""
+    n = pos.shape[0]
+    dim = pos.shape[-1]
+    g = 1 << levels
+    alive = mass > 0
+    ext = _extent(pos, alive)
+    cell = jnp.where(alive, _flatten_cells(_cells(pos, ext, g), g), g ** dim)
+    occ = jnp.zeros((g ** dim + 1,), jnp.int32).at[cell].add(1)
+    if near == "slots":
+        unit = occ[:-1]
+    else:
+        occg = occ[:-1].reshape((g,) * dim)  # row-major, x the LAST axis
+        # window-row occupancy at each center x: sum of the (2*ring+1)
+        # consecutive cells, zero outside the grid (matches the clamps)
+        occp = jnp.pad(occg, [(0, 0)] * (dim - 1) + [(ring, ring)])
+        unit = sum(occp[..., d:d + g] for d in range(2 * ring + 1))
+    i_over = jnp.sum(jnp.maximum(occ[:-1] - slot_cap(n, g ** dim), 0))
+    dropped = jnp.maximum(i_over - _completion_cap(n, comp_cap), 0)
+    return unit, i_over, dropped
+
+
+def _overflow_terms(pos, mass, *, levels, neighbor_k, ring, near,
+                    comp_cap=0):
     """(partner-cap overflow, completion-budget overflow) — the two terms of
     ``overflow_count``, separated so the driver's bhAdapt can tell which
     knob would actually help (K widening fixes only the first)."""
@@ -1772,48 +1863,56 @@ def _overflow_terms(pos, mass, *, levels, neighbor_k, ring, near):
     dim = pos.shape[-1]
     levels = levels or auto_levels(n, dim=dim)
     neighbor_k = neighbor_k or auto_neighbor_k(n, levels, ring, dim, near)
-    g = 1 << levels
-    alive = mass > 0
-    ext = _extent(pos, alive)
-    cell = jnp.where(alive, _flatten_cells(_cells(pos, ext, g), g), g ** dim)
-    occ = jnp.zeros((g ** dim + 1,), jnp.int32).at[cell].add(1)
+    unit, _, dropped = _occupancy(pos, mass, levels, ring, near, comp_cap)
     if near == "slots":
         # the slot grid exposes max(k, slot_cap) partner slots per cell
         # (it is sized to carry the i-slot slice too), so that is the cap
         # bodies actually overflow — counting against a pinned smaller k
         # would report overflow the engine covers
-        eff_k = max(neighbor_k, slot_cap(n, g ** dim))
-        k_over = jnp.sum(jnp.maximum(occ[:-1] - eff_k, 0))
-    else:
-        occg = occ[:-1].reshape((g,) * dim)  # row-major, x the LAST axis
-        # window-row occupancy at each center x: sum of the (2*ring+1)
-        # consecutive cells, zero outside the grid (matches the clamps)
-        occp = jnp.pad(occg, [(0, 0)] * (dim - 1) + [(ring, ring)])
-        row = sum(occp[..., d:d + g] for d in range(2 * ring + 1))
-        k_over = jnp.sum(jnp.maximum(row - neighbor_k, 0))
-    i_over = jnp.sum(jnp.maximum(occ[:-1] - slot_cap(n, g ** dim), 0))
-    dropped = jnp.maximum(i_over - _completion_cap(n), 0)
+        neighbor_k = max(neighbor_k, slot_cap(n, (1 << levels) ** dim))
+    k_over = jnp.sum(jnp.maximum(unit - neighbor_k, 0))
     return k_over, dropped
 
 
-@partial(jax.jit, static_argnames=("levels", "neighbor_k", "ring", "near"))
+@partial(jax.jit, static_argnames=("levels", "ring", "near", "comp_cap"))
+def needed_neighbor_k(pos, mass, *, levels: int, ring: int = 1,
+                      near: str = "rows", comp_cap: int = 0):
+    """Count-aware minimal caps: [smallest ``neighbor_k`` with ZERO
+    partner-cap overflow for this state (max per-cell occupancy for slots,
+    max per-window-row occupancy for rows), completion-budget drop at the
+    current grid, total completion-pass population (bodies past the fast
+    passes' slot_cap — the smallest ``bhCompCap`` with zero drop)]. One
+    dispatch; ``pick_levels`` and the driver's bhAdapt use it to widen K
+    and the completion budget exactly instead of blind doubling."""
+    unit, i_over, dropped = _occupancy(pos, mass, levels, ring, near,
+                                       comp_cap)
+    return jnp.stack([jnp.max(unit), dropped, i_over])
+
+
+@partial(jax.jit, static_argnames=("levels", "neighbor_k", "ring", "near",
+                                   "comp_cap"))
 def bh_health(pos, mass, radius, *, levels: int, neighbor_k: int = 0,
-              ring: int = 1, near: str = "rows"):
+              ring: int = 1, near: str = "rows", comp_cap: int = 0):
     """One-dispatch health probe for the driver's per-log bh check:
     [partner-cap overflow, completion-budget overflow, max live radius,
-    min bounding-box span]. The driver fetches this single vector and
-    (with ``bhAdapt``) widens bhNeighborK on partner-cap overflow, refines
-    bhLevels on completion-budget overflow (K does not touch that term),
-    or coarsens bhLevels when 2*max_radius outgrows the ring's collision
-    coverage (ring * min_span / 2^levels)."""
+    min bounding-box span, count-aware minimal partner cap, completion-pass
+    population]. The driver fetches this single vector and (with
+    ``bhAdapt``) widens bhNeighborK to the reported minimal cap on
+    partner-cap overflow, refines bhLevels on completion-budget overflow
+    (K does not touch that term) or — at the level cap — widens bhCompCap
+    to the reported population, or coarsens bhLevels when 2*max_radius
+    outgrows the ring's collision coverage (ring * min_span / 2^levels)."""
     alive = mass > 0
     k_over, dropped = _overflow_terms(pos, mass, levels=levels,
                                       neighbor_k=neighbor_k, ring=ring,
-                                      near=near)
+                                      near=near, comp_cap=comp_cap)
+    unit, i_over, _ = _occupancy(pos, mass, levels, ring, near, comp_cap)
     rmax = jnp.max(jnp.where(alive, radius, 0.0))
     _, spans = _extent(pos, alive)
     span_min = spans[0]
     for s in spans[1:]:
         span_min = jnp.minimum(span_min, s)
     return jnp.stack([k_over.astype(jnp.float32),
-                      dropped.astype(jnp.float32), rmax, span_min])
+                      dropped.astype(jnp.float32), rmax, span_min,
+                      jnp.max(unit).astype(jnp.float32),
+                      i_over.astype(jnp.float32)])

@@ -92,7 +92,8 @@ def make_sharded_bh_step(cfg: SimConfig,
                 levels=cfg.bh_levels, ring=cfg.bh_ring,
                 neighbor_k=cfg.bh_neighbor_k, order=cfg.bh_order,
                 far=getattr(cfg, "bh_far", "fmm"),
-                near=_resolve_near(cfg))
+                near=_resolve_near(cfg),
+                comp_cap=getattr(cfg, "bh_comp_cap", 0))
             sc = lambda x: lax.psum_scatter(x, AXIS, scatter_dimension=0,
                                             tiled=True)
             i_loc = me * n_local + jnp.arange(n_local, dtype=jnp.int32)

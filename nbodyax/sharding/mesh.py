@@ -30,13 +30,24 @@ def maybe_init_distributed() -> None:
 
     Single-process (the common case, incl. tests) is a no-op. Multi-host TPU
     pods set JAX_COORDINATOR_ADDRESS / megascale env vars; jax.distributed
-    reads them directly.
+    reads the address directly and auto-detects process count/id on managed
+    clusters (SLURM, OpenMPI, GKE). Plain launchers (ssh loops, the
+    2-process smoke test) have no cluster detector, so JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID are honored explicitly when set.
     """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        try:
-            jax.distributed.initialize()
-        except RuntimeError:
-            pass  # already initialized
+    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return
+    kwargs = {}
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    if nproc is not None:
+        kwargs = dict(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(nproc),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError:
+        pass  # already initialized
 
 
 def make_mesh(n_shards: int, devices=None) -> Mesh:

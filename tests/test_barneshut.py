@@ -269,27 +269,49 @@ def test_bh_momentum_drift_bounded_long_run():
 
 @pytest.mark.parametrize("mode", ["reference", "momentum", "elastic"])
 @pytest.mark.parametrize("ci_cap", [32, 64])
-def test_percell_near_matches_perbody(mode, ci_cap):
-    """The per-cell fast near pass (shared window gathers) must reproduce the
-    per-body pass exactly — same windows, same K cap, same pair math — at the
-    floor slot cap and at a density-scaled (>32) one."""
+@pytest.mark.parametrize("near", ["rows", "slots"])
+def test_percell_near_matches_perbody(mode, ci_cap, near):
+    """The per-cell fast near pass (shared window gathers for rows, sliced
+    slot grid for slots) must reproduce the per-body pass exactly — same
+    windows, same effective caps, same pair math — at the floor slot cap
+    and at a density-scaled (>32) one, including at overflow-inducing
+    ci_caps (ADVICE r2: the slots engine's completion coverage was only
+    checked indirectly before): a 90-body cluster in one finest cell
+    exercises the completion pass at ci_cap=32. K=128 >= the densest cell,
+    so the slots grid (S = max(k, ci_cap) partners per cell) and the
+    per-body reference pass ((2*ring+1)*S per row in completion) see
+    identical partner sets — with K below cell occupancy the two
+    truncation shapes legitimately differ (documented in
+    _near_field_cells)."""
     import jax.numpy as jnp
     from nbodyax.physics.barneshut import (_extent, _near_field,
                                            _near_field_cells)
 
     pos, vel, mass, radius = random_state(1024, seed=21, field=2000.0,
                                           rmax=15.0)
-    levels, ring, k = 4, 1, 32
+    # crowd one finest cell (levels=4 over +-2000: 250-unit cells) well
+    # past both ci_caps so the completion pass actually runs
+    pos[-320:] = np.random.RandomState(3).uniform(
+        -2, 2, (320, 2)).astype(np.float32)
+    levels, ring, k = 4, 1, 384
+    from nbodyax.physics.barneshut import needed_neighbor_k
+    max_cell_occ = int(needed_neighbor_k(pos, mass, levels=levels,
+                                         near="slots")[0])
+    assert 64 < max_cell_occ <= k    # completion fires; K covers everyone
     ext = _extent(jnp.asarray(pos), jnp.asarray(mass) > 0)
     ids = jnp.arange(1024, dtype=jnp.int32)
     args = (ext, levels, ring, jnp.float32(100.0), jnp.float32(0.1), mode, k)
-    a = _near_field_cells(pos, vel, mass, radius, *args, ci_cap=ci_cap)
+    a = _near_field_cells(pos, vel, mass, radius, *args, ci_cap=ci_cap,
+                          near=near)
+    row_k = (2 * ring + 1) * max(k, ci_cap) if near == "slots" else k
     b = _near_field(pos, vel, mass, radius, ids,
-                    pos, vel, mass, radius, *args, 1024)
+                    pos, vel, mass, radius, *args[:-1], row_k, 1024)
     for name in ("force", "gained_mass", "gained_radius", "dv"):
+        # same partner sets, different f32 accumulation order (the crowded
+        # cell sums ~320 partner terms per lane) — hence rtol 1e-4, not 0
         np.testing.assert_allclose(np.asarray(getattr(a, name)),
                                    np.asarray(getattr(b, name)),
-                                   rtol=1e-6, atol=1e-7, err_msg=name)
+                                   rtol=1e-4, atol=1e-6, err_msg=name)
     np.testing.assert_array_equal(np.asarray(a.died), np.asarray(b.died))
     np.testing.assert_array_equal(np.asarray(a.parent), np.asarray(b.parent))
 
@@ -343,33 +365,85 @@ def test_pick_levels_density_aware():
     uni = init_scene(SimConfig(particle_count=n), parity=False)
     gal = init_scene(SimConfig(particle_count=n, scene="galaxy",
                                softening=100.0), parity=False)
-    lv_uni, near_uni = pick_levels(uni.pos, uni.mass)
+    lv_uni, near_uni, k_uni, comp_uni = pick_levels(uni.pos, uni.mass)
     assert lv_uni == auto_levels(n)          # uniform: no refinement needed
     assert near_uni == "rows"                # ... on the cheap rows engine
+    # the returned K is count-aware EXACT: zero partner-cap overflow (the
+    # heuristic K alone leaves a Poisson-tail trickle truncated)
+    assert k_uni % 8 == 0
+    assert comp_uni == 0                     # default budget drops nothing
+    assert int(overflow_count(uni.pos, uni.mass, levels=lv_uni,
+                              neighbor_k=k_uni, near=near_uni)) == 0
     # the galaxy overflows rows at auto K; the slots engine covers it at
     # the SAME coarse level (no refinement cost)
-    lv_gal, near_gal = pick_levels(gal.pos, gal.mass)
+    lv_gal, near_gal, k_gal, _ = pick_levels(gal.pos, gal.mass)
     assert near_gal == "slots"
     assert lv_gal == lv_uni
     assert int(overflow_count(gal.pos, gal.mass, levels=lv_gal,
-                              near="slots")) <= n * 0.01
+                              neighbor_k=k_gal, near="slots")) == 0
     # pinning the cap below the slot grid's structural floor (slot_cap =
     # 2x mean occupancy) is a no-op for slots: the grid exposes slot_cap
     # partner slots per cell regardless, the fast pass covers them, and
     # overflow_count counts against that effective cap — so no spurious
     # refinement
-    lv_tight, near_tight = pick_levels(gal.pos, gal.mass, neighbor_k=8)
+    lv_tight, near_tight, k_tight, _ = pick_levels(gal.pos, gal.mass,
+                                                   neighbor_k=8)
     assert near_tight == "slots"
     assert lv_tight == lv_uni
+    assert k_tight == 8                      # pinned K passes through
     assert int(overflow_count(gal.pos, gal.mass, levels=lv_tight,
                               neighbor_k=8, near="slots")) <= n * 0.01
     # pinned engine: rows refines instead of switching
-    lv_rows, near_rows = pick_levels(gal.pos, gal.mass, near="rows")
+    lv_rows, near_rows, _, _ = pick_levels(gal.pos, gal.mass, near="rows")
     assert near_rows == "rows"
     assert lv_rows > lv_uni
-    # pinned levels: only the engine is chosen, grid untouched
-    lv_pin, near_pin = pick_levels(gal.pos, gal.mass, levels=lv_uni)
+    # pinned levels: only the engine/cap are chosen, grid untouched
+    lv_pin, near_pin, _, _ = pick_levels(gal.pos, gal.mass, levels=lv_uni)
     assert (lv_pin, near_pin) == (lv_uni, "slots")
+
+
+def test_auto_knobs_exact_on_crowded_scene():
+    """VERDICT r2 #1: auto knobs must yield bh_overflow == 0 even on a
+    scene with heavily crowded cells — near-field COLLISION truncation is a
+    binary physics error (the reference runs the overlap test for every
+    pair, nbody.cu:196-226), not a tolerable approximation. pick_levels'
+    count-aware K must cover the densest cell exactly, without hand-pinning
+    bhNeighborK — and where even the finest grid cannot spread the blob
+    (a quarter of all bodies denser than any cell), the count-aware
+    completion budget (bhCompCap) covers the residual exactly."""
+    from nbodyax.physics.barneshut import pick_levels
+    from nbodyax.state import make_state
+
+    rng = np.random.RandomState(11)
+    n = 8192
+    # 3/4 uniform + 1/4 in a tight blob a single finest cell will hold
+    pos = rng.uniform(-2000, 2000, (n, 2)).astype(np.float32)
+    pos[: n // 4] = rng.normal(0.0, 3.0, (n // 4, 2)).astype(np.float32)
+    st = make_state(pos, np.zeros((n, 2), np.float32),
+                    rng.uniform(1, 10, n).astype(np.float32),
+                    np.full(n, 0.5, np.float32))
+    lv, near, k, comp = pick_levels(st.pos, st.mass)
+    assert int(overflow_count(st.pos, st.mass, levels=lv, neighbor_k=k,
+                              near=near, comp_cap=comp)) == 0
+
+
+def test_needed_neighbor_k_is_minimal():
+    """needed_neighbor_k reports the exact threshold: zero overflow at the
+    reported cap, nonzero one below it (both engines)."""
+    from nbodyax.physics.barneshut import needed_neighbor_k
+
+    pos, vel, mass, radius = random_state(2048, seed=13, field=2000.0,
+                                          rmax=10.0)
+    for near in ("rows", "slots"):
+        kn, dropped, i_over = (int(v) for v in needed_neighbor_k(
+            pos, mass, levels=4, near=near))
+        assert dropped == 0
+        assert i_over >= 0
+        assert int(overflow_count(pos, mass, levels=4, neighbor_k=kn,
+                                  near=near)) == 0
+        if near == "rows":   # slots' effective cap is floored at slot_cap
+            assert int(overflow_count(pos, mass, levels=4,
+                                      neighbor_k=kn - 1, near=near)) > 0
 
 
 def test_pick_levels_size_preference(monkeypatch):
@@ -385,6 +459,6 @@ def test_pick_levels_size_preference(monkeypatch):
     uni = init_scene(SimConfig(particle_count=n), parity=False)
     assert barneshut.pick_levels(uni.pos, uni.mass)[1] == "rows"
     monkeypatch.setattr(barneshut, "_SLOTS_PREFERRED_N", n)
-    lv, near = barneshut.pick_levels(uni.pos, uni.mass)
+    lv, near, _, _ = barneshut.pick_levels(uni.pos, uni.mass)
     assert near == "slots"
     assert lv == auto_levels(n)  # preference flip alone must not refine

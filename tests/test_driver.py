@@ -221,6 +221,39 @@ def test_bh_adapt_raises_neighbor_k_on_overflow(tmp_path, capsys):
     assert "bh adapt" in out and "bh_neighbor_k" in out, out
 
 
+def test_bh_adapt_fixes_small_persistent_overflow(tmp_path, capsys):
+    """VERDICT r2 #1: overflow BELOW the 64-body noise floor must still
+    adapt when it persists (two consecutive nonzero health checks) — the
+    old max(64, 1e-3*alive) threshold made any small persistent overflow
+    permanent, silently dropping collision physics for those bodies. The
+    widening goes straight to the probe's count-aware minimum, so one
+    rebuild restores bh_overflow == 0."""
+    rng = np.random.RandomState(7)
+    n = 256
+    pos = rng.uniform(-950, 950, (n, 2)).astype(np.float32)
+    # ~24 bodies share one finest cell: small overflow at K=16, persistent
+    # (near-static bodies), but well under the 64-body noise floor
+    pos[:24] = rng.normal(0.0, 1.0, (24, 2)).astype(np.float32)
+    from nbodyax.state import make_state
+    st = make_state(pos, np.zeros((n, 2), np.float32),
+                    np.full(n, 1.0, np.float32),
+                    np.full(n, 0.01, np.float32))
+    cfg = base_cfg(tmp_path, particle_count=n, total_iterations=8,
+                   force_model="bh", softening=100.0, bh_levels=4,
+                   bh_neighbor_k=16, bh_near="rows", log_every=2,
+                   field_width=2000, field_height=2000, timestep=1e-3)
+    run_simulation(cfg, quiet=False, state=st)
+    out = capsys.readouterr().out
+    assert "bh adapt" in out and "bh_neighbor_k" in out, out
+    lines = [json.loads(l) for l in open(cfg.log_path).read().splitlines()]
+    ov = [l["bh_overflow"] for l in lines]
+    assert ov[0] > 0 and ov[0] < 64, ov      # small overflow, detected
+    assert ov[1] > 0, ov                     # still there: now persistent
+    assert ov[-1] == 0, ov                   # ... so adapt made it exact
+    # one widening was enough (count-aware K, not blind doubling)
+    assert out.count("bh adapt") == 1, out
+
+
 def test_bh_adapt_coarsens_levels_when_radii_outgrow_window(tmp_path, capsys):
     """bhAdapt: radii larger than the ring's collision coverage at the
     current finest level must coarsen bhLevels between windows."""
