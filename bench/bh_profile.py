@@ -26,6 +26,8 @@ def main(argv=None) -> int:
                     help="per-cell slot cap override (0 = slot_cap auto)")
     ap.add_argument("--far", default="fmm", choices=("fmm", "direct"))
     ap.add_argument("--near", default="rows", choices=("rows", "slots"))
+    ap.add_argument("--pallas", default="auto", choices=("auto", "on", "off"),
+                    help="fused Pallas near kernel (bhNear=slots only)")
     ap.add_argument("--only", default="",
                     help="comma-separated probe names (default: all)")
     args = ap.parse_args(argv)
@@ -49,7 +51,8 @@ def main(argv=None) -> int:
                     force_model="bh", softening=100.0, bh_levels=levels,
                     bh_neighbor_k=args.k, bh_ring=args.ring,
                     bh_order=args.order, dimensions=args.dim,
-                    bh_far=args.far, bh_near=args.near)
+                    bh_far=args.far, bh_near=args.near,
+                    bh_pallas=args.pallas)
     state = init_scene(cfg, parity=False)
     pos, vel = state.pos, state.vel
     mass, radius = state.mass, state.radius
@@ -77,7 +80,8 @@ def main(argv=None) -> int:
                               growth_rate=0.1, mode="reference", levels=levels,
                               ring=args.ring, neighbor_k=args.k,
                               order=args.order, ci_cap=args.cicap,
-                              far=args.far, near=args.near)
+                              far=args.far, near=args.near,
+                              near_pallas=args.pallas)
         return acc.force[0, 0] + acc.gained_mass[-1]
 
     step = build_step(cfg)
@@ -113,10 +117,13 @@ def main(argv=None) -> int:
     @jax.jit
     def near_cells_only(pos, vel, mass, radius):
         ext = _extent(pos, mass > 0)
+        from nbodyax.physics.barneshut import _resolve_near_pallas
         acc = _near_field_cells(pos, vel, mass, radius, ext, levels,
                                 args.ring, eps2, jnp.float32(0.1),
                                 "reference", args.k, ci_cap=cap,
-                                near=args.near)
+                                near=args.near,
+                                pallas_near=_resolve_near_pallas(
+                                    args.pallas, args.near))
         return acc.force[0, 0] + acc.gained_mass[-1]
 
     @jax.jit
@@ -162,7 +169,7 @@ def main(argv=None) -> int:
     only = [s for s in (args.only or "").split(",") if s]
     out = {"n": n, "levels": levels, "k": args.k, "ring": args.ring,
            "order": args.order, "dim": args.dim, "ci_cap": cap,
-           "far": args.far, "near": args.near}
+           "far": args.far, "near": args.near, "pallas": args.pallas}
     for name, (fn, a) in probes.items():
         if only and name not in only:
             continue

@@ -32,15 +32,20 @@ def resolve_backend(name: str) -> str:
 def _resolve_near(cfg) -> str:
     """bhNear for an accum fn: "auto" means the caller never probed the
     density (driver.resolve_bh_config does that against the starting state
-    before reaching here) — fall back by the measured size crossover: rows
-    is uniform-optimal below ~1.5M bodies, slots above (the rows engine's
-    window gathers scale worse with table size; barneshut's
-    _SLOTS_PREFERRED_N records the A/B numbers)."""
+    before reaching here) — fall back to slots wherever its fused Pallas
+    kernel runs (A/B-faster than rows at every size on TPU), else by the
+    measured jnp-engine size crossover: rows is uniform-optimal below
+    ~1.5M bodies, slots above (the rows engine's window gathers scale
+    worse with table size; barneshut's _SLOTS_PREFERRED_N records the
+    A/B numbers)."""
     near = getattr(cfg, "bh_near", "rows")
     if near != "auto":
         return near
-    from nbodyax.physics.barneshut import _SLOTS_PREFERRED_N
+    from nbodyax.physics.barneshut import (_SLOTS_PREFERRED_N,
+                                           _resolve_near_pallas)
     n = getattr(cfg, "particle_count", 0)
+    if _resolve_near_pallas(getattr(cfg, "bh_pallas", "auto"), "slots"):
+        return "slots"
     return "slots" if n >= _SLOTS_PREFERRED_N else "rows"
 
 
@@ -54,7 +59,8 @@ def build_accum_fn(backend: str, p: PhysicsParams, cfg=None):
                        order=cfg.bh_order,
                        far=getattr(cfg, "bh_far", "fmm"),
                        near=_resolve_near(cfg),
-                       comp_cap=getattr(cfg, "bh_comp_cap", 0))
+                       comp_cap=getattr(cfg, "bh_comp_cap", 0),
+                       near_pallas=getattr(cfg, "bh_pallas", "auto"))
     backend = resolve_backend(backend)
     if backend == "jnp":
         return partial(pair_accumulators, eps=p.eps, growth_rate=p.growth_rate,

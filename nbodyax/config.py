@@ -120,6 +120,11 @@ class SimConfig:
                                           # gathers + exact-target annulus)
                                           # | direct (gathered per-cell
                                           # windows, exact target)
+    bh_pallas: str = "auto"               # fused Pallas near-field kernel
+                                          # for bhNear=slots: auto (on TPU
+                                          # hardware) | on (anywhere; CPU
+                                          # interprets — tests only) | off
+                                          # (jnp engine)
     bh_comp_cap: int = 0                  # completion-pass budget: bodies
                                           # past their cell's fast-pass slot
                                           # cap finished exactly per-body
@@ -203,6 +208,8 @@ class SimConfig:
                 raise ConfigError("bhFar must be fmm or direct")
             if self.bh_near not in ("auto", "rows", "slots"):
                 raise ConfigError("bhNear must be auto, rows or slots")
+            if self.bh_pallas not in ("auto", "on", "off"):
+                raise ConfigError("bhPallas must be auto, on or off")
         return self
 
 
@@ -237,6 +244,7 @@ _KEYS = {
     "bhRing": ("bh_ring", _stoi),
     "bhNeighborK": ("bh_neighbor_k", _stoi),
     "bhCompCap": ("bh_comp_cap", _stoi),
+    "bhPallas": ("bh_pallas", lambda s, k: s.strip()),
     "bhOrder": ("bh_order", _stoi),
     # (bhFar once used bare ``str`` here, which explodes under the
     # parser(value, key) call convention — keep the two-arg lambda form)

@@ -69,11 +69,16 @@ def resolve_bh_config(cfg: SimConfig, capacity: int = 0,
     capacity = capacity or (state.capacity if state is not None
                             else cfg.particle_count)
     if cfg.bh_levels == 0 or cfg.bh_near == "auto":
+        from nbodyax.physics.barneshut import (_SLOTS_PREFERRED_N,
+                                               _resolve_near_pallas)
+        prefer_slots = (_resolve_near_pallas(cfg.bh_pallas, "slots")
+                        or capacity >= _SLOTS_PREFERRED_N)
         if state is not None:
             from nbodyax.physics.barneshut import pick_levels
             lv, near, kk, comp = pick_levels(
                 state.pos, state.mass, neighbor_k=cfg.bh_neighbor_k,
-                ring=cfg.bh_ring, near=cfg.bh_near, levels=cfg.bh_levels)
+                ring=cfg.bh_ring, near=cfg.bh_near, levels=cfg.bh_levels,
+                prefer_slots=prefer_slots)
             # kk/comp are count-aware EXACT for this state (zero partner-cap
             # overflow, zero completion-budget drop — collisions are never
             # silently truncated); pinned K/compCap pass through untouched
@@ -87,8 +92,7 @@ def resolve_bh_config(cfg: SimConfig, capacity: int = 0,
                       + (f" bhCompCap={cfg.bh_comp_cap}"
                          if cfg.bh_comp_cap else ""))
         elif cfg.bh_near == "auto":
-            from nbodyax.physics.barneshut import _SLOTS_PREFERRED_N
-            near = "slots" if capacity >= _SLOTS_PREFERRED_N else "rows"
+            near = "slots" if prefer_slots else "rows"
             cfg = dataclasses.replace(cfg, bh_near=near)
     if cfg.bh_neighbor_k == 0 and cfg.bh_levels > 0:
         # concrete K in cfg so bhAdapt's widening and the health probe see

@@ -144,7 +144,8 @@ _SLOTS_PREFERRED_N = 1_500_000
 
 def pick_levels(pos, mass, *, neighbor_k: int = 0, ring: int = 1,
                 max_levels: int = 10, tolerance: float = 0.01,
-                near: str = "auto", levels: int = 0) -> tuple:
+                near: str = "auto", levels: int = 0,
+                prefer_slots=None) -> tuple:
     """Density-aware finest-level, near-engine, partner-cap AND
     completion-budget choice from an actual state. Returns
     ``(levels, near, k, comp_cap)`` with ``near`` resolved to "rows" or
@@ -207,8 +208,15 @@ def pick_levels(pos, mass, *, neighbor_k: int = 0, ring: int = 1,
             pos, mass, levels=lv, ring=ring, near=eng))
         return max(k_auto, 8 * -(-k_need // 8)), dropped, k_auto, i_over
 
+    if prefer_slots is None:
+        # the fused Pallas slots kernel A/B-beats rows at EVERY size on
+        # TPU hardware (64K: 0.049 vs 0.053 full-step s; 256K: 0.111 vs
+        # 0.147; 1M: 0.278 vs 0.354 — bench records r3); off-TPU the jnp
+        # engines keep the measured ~1.5M crossover
+        prefer_slots = (n >= _SLOTS_PREFERRED_N
+                        or jax.default_backend() == "tpu")
     if near == "auto":
-        order = (("slots", "rows") if n >= _SLOTS_PREFERRED_N
+        order = (("slots", "rows") if prefer_slots
                  else ("rows", "slots"))
         for eng in order:
             if ov_at(lv, eng) <= n * tolerance:
@@ -790,7 +798,8 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
                       chunk: int = 8192, _structure=None,
                       cell_range=None, comp_range=None,
                       near: str = "rows",
-                      comp_cap: int = 0) -> PairAccumulators:
+                      comp_cap: int = 0,
+                      pallas_near: bool = False) -> PairAccumulators:
     """Near field for the FULL body set (i side == partner set): per-CELL
     shared windows, via one of two engines.
 
@@ -961,30 +970,55 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
                 eps2=eps2, growth_rate=growth_rate, mode=mode))
         return acc
 
-    if nchunks == 1:
-        acc = jax.tree.map(lambda x: x[None], one_chunk(jnp.int32(0)))
+    if use_slots and pallas_near and cell_range is None:
+        # Fused Pallas near pass (physics/near_pallas.py): streams the
+        # window rows through VMEM and emits the unsort's packed-lane
+        # channel block directly — same per-pair semantics as one_chunk's
+        # _gathered_pair_accum (tested against it), minus the HBM-
+        # materialized [B, win*S] pair temporaries.
+        from nbodyax.physics.near_pallas import NUM_CH, slots_near_raw
+        # slot grid in the kernel's [cell, feature, slot-lane] layout: the
+        # one wide-row gather (same fslot as the jnp engine — per-feature
+        # narrow gathers A/B-measured 3x slower) transposed per cell, slot
+        # lanes zero-padded to the manual-DMA alignment unit (128) — pad
+        # slots are mass 0, inert through every channel
+        s_pad = -(-S // 128) * 128
+        jrows = jnp.pad(fslot.transpose(0, 2, 1),
+                        ((padc, padc), (0, 0), (0, s_pad - S)))
+        raw = slots_near_raw(jrows, mode=mode,
+                             eps2=eps2, growth=growth_rate,
+                             g=g, ring=ring, dim=dim, S=S, ci=ci_cap, L=L)
+        nslots = ncells * ci_cap
+        nlane = {"reference": dim + 3, "momentum": dim + 3,
+                 "elastic": 2 * dim}.get(mode, dim)
+        packed_sl = jnp.pad(raw.reshape(nslots, NUM_CH)[:, :nlane],
+                            ((0, 1), (0, 0)))
     else:
-        acc = lax.map(one_chunk, jnp.arange(nchunks))
-    flat = lambda x: x.reshape((nchunks * B,) + x.shape[2:])
-    acc = jax.tree.map(flat, acc)
+        if nchunks == 1:
+            acc = jax.tree.map(lambda x: x[None], one_chunk(jnp.int32(0)))
+        else:
+            acc = lax.map(one_chunk, jnp.arange(nchunks))
+        flat = lambda x: x.reshape((nchunks * B,) + x.shape[2:])
+        acc = jax.tree.map(flat, acc)
 
-    # Unsort slot results into body order with a packed-row GATHER per body
-    # instead of per-lane scatters of every slot (TPU scatters measured
-    # ~0.1 s of the N=1M near pass; the one remaining scatter is the i32
-    # inverse permutation). Each body knows its slot arithmetically:
-    # slot = (cell - cell_base) * ci_cap + rank, valid while rank < ci_cap
-    # and the cell is in range; everything else keeps identity lanes.
-    nslots = nchunks * B
-    lanes = [acc.force[:, d] for d in range(dim)]
-    if mode == "reference":
-        lanes += [acc.gained_mass, acc.gained_radius,
-                  acc.died.astype(jnp.float32)]
-    elif mode == "momentum":
-        p_hi, p_lo = _pack_id(acc.parent)
-        lanes += [acc.best_mass, p_hi, p_lo]
-    elif mode == "elastic":
-        lanes += [acc.dv[:, d] for d in range(dim)]
-    packed_sl = jnp.pad(jnp.stack(lanes, axis=1), ((0, 1), (0, 0)))
+        # Unsort slot results into body order with a packed-row GATHER per
+        # body instead of per-lane scatters of every slot (TPU scatters
+        # measured ~0.1 s of the N=1M near pass; the one remaining scatter
+        # is the i32 inverse permutation). Each body knows its slot
+        # arithmetically: slot = (cell - cell_base) * ci_cap + rank, valid
+        # while rank < ci_cap and the cell is in range; everything else
+        # keeps identity lanes.
+        nslots = nchunks * B
+        lanes = [acc.force[:, d] for d in range(dim)]
+        if mode == "reference":
+            lanes += [acc.gained_mass, acc.gained_radius,
+                      acc.died.astype(jnp.float32)]
+        elif mode == "momentum":
+            p_hi, p_lo = _pack_id(acc.parent)
+            lanes += [acc.best_mass, p_hi, p_lo]
+        elif mode == "elastic":
+            lanes += [acc.dv[:, d] for d in range(dim)]
+        packed_sl = jnp.pad(jnp.stack(lanes, axis=1), ((0, 1), (0, 0)))
 
     valid, slot_idx = _slot_unsort_idx(pos, mass, ext, g, order, starts,
                                        ncells, ci_cap, cell_range, nslots)
@@ -1609,7 +1643,8 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
                    shard=None, nshards: int = 1,
                    ci_cap: int = 0, far: str = "fmm",
                    near: str = "rows",
-                   comp_cap: int = 0) -> PairAccumulators:
+                   comp_cap: int = 0,
+                   pallas_near: bool = False) -> PairAccumulators:
     """Near+far per-cell evaluation over the full body set (or, with
     ``shard``/``nshards``, over one contiguous 1/nshards cell slice plus
     1/nshards of the completion list — every body's accumulators are then
@@ -1650,7 +1685,7 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
                                  neighbor_k, ci_cap=cap, chunk=c,
                                  _structure=structure, cell_range=cell_range,
                                  comp_range=comp_range, near=near,
-                                 comp_cap=comp_cap)
+                                 comp_cap=comp_cap, pallas_near=pallas_near)
 
     if far == "fmm":
         # Hybrid FMM: local expansions with interaction lists at ring+1
@@ -1740,13 +1775,29 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
     return combine_accumulators(near_acc, far_acc)
 
 
+def _resolve_near_pallas(near_pallas: str, near: str) -> bool:
+    """Tri-state bhPallas knob -> bool. "auto" takes the fused Pallas near
+    kernel whenever the slots engine runs on real TPU hardware (where it
+    replaces HBM-materialized pair temporaries with VMEM streaming); "on"
+    forces it anywhere (CPU runs the interpreter — slow, for tests); "off"
+    keeps the jnp engine."""
+    if near != "slots":
+        return False
+    if near_pallas == "on":
+        return True
+    if near_pallas == "off":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def bh_accumulators(pos, vel, mass, radius, *, eps: float = 0.0,
                     growth_rate: float = 0.1, mode: str = "reference",
                     levels: int = 0, ring: int = 1, neighbor_k: int = 64,
                     order: int = 2, chunk: int = 8192,
                     ci_cap: int = 0, far: str = "fmm",
                     near: str = "rows",
-                    comp_cap: int = 0) -> PairAccumulators:
+                    comp_cap: int = 0,
+                    near_pallas: str = "auto") -> PairAccumulators:
     """Drop-in accum_fn (same interface as pair_accumulators): approximate
     far-field force + exact near-field force/collision accumulators.
 
@@ -1766,7 +1817,8 @@ def bh_accumulators(pos, vel, mass, radius, *, eps: float = 0.0,
                           growth_rate=growth_rate, mode=mode, levels=levels,
                           ring=ring, neighbor_k=neighbor_k, order=order,
                           chunk=chunk, ci_cap=ci_cap, far=far, near=near,
-                          comp_cap=comp_cap)
+                          comp_cap=comp_cap,
+                          pallas_near=_resolve_near_pallas(near_pallas, near))
 
 
 def bh_cellrange_accumulators(pos, vel, mass, radius, shard, nshards: int, *,

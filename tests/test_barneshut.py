@@ -337,6 +337,46 @@ def test_percell_completion_pass_exact_in_crowded_cell():
                                np.asarray(ex.gained_mass), rtol=1e-5)
 
 
+@pytest.mark.parametrize("mode", ["reference", "momentum", "elastic"])
+@pytest.mark.parametrize("dim", [2, 3])
+def test_pallas_near_matches_jnp_slots(mode, dim):
+    """The fused Pallas slots near kernel (physics/near_pallas.py, run in
+    interpret mode on CPU) must reproduce the jnp slots engine: identical
+    partner sets and per-pair semantics, float channels to accumulation-
+    order tolerance, id/bool channels exactly — including a crowded cell
+    (completion-pass interplay), a dead body, and out-of-grid window edges
+    (the geometry masks are computed in-kernel from static g)."""
+    import jax.numpy as jnp
+    from nbodyax.physics.barneshut import _extent, _near_field_cells
+
+    rng = np.random.RandomState(5)
+    n = 2048
+    pos = rng.uniform(-1000, 1000, (n, dim)).astype(np.float32)
+    pos[-200:] = rng.uniform(-20, 20, (200, dim)).astype(np.float32)
+    vel = rng.uniform(-3, 3, (n, dim)).astype(np.float32)
+    mass = rng.uniform(1, 100, n).astype(np.float32)
+    mass[7] = 0.0
+    radius = rng.uniform(1, 12, n).astype(np.float32)
+    ext = _extent(jnp.asarray(pos), jnp.asarray(mass) > 0)
+    lv = 3 if dim == 3 else 4
+    args = (ext, lv, 1, jnp.float32(50.0) ** 2, jnp.float32(0.1), mode, 40)
+    a = _near_field_cells(pos, vel, mass, radius, *args, ci_cap=32,
+                          near="slots", pallas_near=False)
+    b = _near_field_cells(pos, vel, mass, radius, *args, ci_cap=32,
+                          near="slots", pallas_near=True)
+    for name in {"reference": ["force", "gained_mass", "gained_radius"],
+                 "momentum": ["force", "best_mass"],
+                 "elastic": ["force", "dv"]}[mode]:
+        x, y = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
+        fin = np.isfinite(x)                     # -inf best_mass sentinels
+        np.testing.assert_array_equal(fin, np.isfinite(y), err_msg=name)
+        err = np.max(np.abs(np.where(fin, x - y, 0.0)))
+        assert err <= 2e-5 * max(1e-30, np.max(np.abs(np.where(fin, x, 0.0)))), \
+            (name, err)
+    np.testing.assert_array_equal(np.asarray(a.died), np.asarray(b.died))
+    np.testing.assert_array_equal(np.asarray(a.parent), np.asarray(b.parent))
+
+
 def test_near_field_id_packing_exact_beyond_2pow24():
     """Body ids ride two f32 lanes (12-bit lo / hi) in the packed near-field
     rows — the round trip must be exact for any i32 id, removing the old
