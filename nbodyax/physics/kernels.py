@@ -194,17 +194,23 @@ def _pair_kernel(ioff_ref, joff_ref, xi_ref, xj_ref, out_ref, *opt_refs,
         # vdotp < 0 alone excludes self-pairs and exact coincidence (there
         # dx = dy = 0 so vdotp == 0 exactly) — no id math or d2 > 0 needed
         approaching = overlap_raw & (vdotp < 0)
-        # (2*m_j/(m_i+m_j)) * vdotp / d2 via rsqrt-and-square: exact f32
-        # division costs many VPU ops, rsqrt is one fast transcendental and
-        # 1/x = rsqrt(x)^2 to ~2 ulp. Extreme masses/distances overflow the
-        # fused denominator to +inf, where rsqrt^2 flushes to 0 — the impulse
-        # degrades toward zero instead of producing inf/NaN, no clamp needed.
-        # rsqrt(0)=inf on non-approaching lanes produces NaN there, which the
-        # coef where() discards (approaching lanes have d2 > 0 by the vdotp
-        # gate, so taken lanes are always finite).
+        # (2*m_j/(m_i+m_j)) * vdotp / d2 via the fast hardware reciprocal
+        # (~9 bits on v5e) + ONE Newton step (error squares: ~2e-3 ->
+        # ~5e-6 relative on the dv channel — physically immaterial for a
+        # velocity impulse and still tight enough to catch structural
+        # bugs; the oracle test gates dv at 1e-5): measured 1.034e11 ->
+        # 1.125e11 pairs/s vs
+        # the old rsqrt-and-square — this was the mode's second
+        # transcendental. The min() clamp keeps overflowed denominators
+        # finite so the Newton step degrades them to an exactly-zero
+        # impulse (flushed r0) instead of NaN; 1/0 = inf on self-pairs
+        # turns the Newton step NaN, which the coef where() discards
+        # (approaching lanes have d2 > 0 by the vdotp gate).
         # The physical factor 2 is applied once in decode_raw, not per pair.
-        rs = lax.rsqrt((mi + mj) * d2)
-        coef = jnp.where(approaching, vdotp * (rs * rs) * mj, 0.0)
+        md = jnp.minimum((mi + mj) * d2, jnp.float32(3.0e38))
+        r0 = pl.reciprocal(md, approx=True)
+        invmd = r0 * (2.0 - md * r0)
+        coef = jnp.where(approaching, vdotp * invmd * mj, 0.0)
         mode_cols = [jnp.sum(coef * c, axis=1, keepdims=True) for c in dp]
 
     cols = forces + mode_cols              # additive channels [0:6]
