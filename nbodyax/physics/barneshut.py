@@ -978,12 +978,21 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
                 eps2=eps2, growth_rate=growth_rate, mode=mode))
         return acc
 
-    if use_slots and pallas_near and cell_range is None:
+    if use_slots and pallas_near:
+        from nbodyax.physics.near_pallas import block_cells
+        if block_cells(ncells_eval, ci_cap, win * S) < 8:
+            # huge-occupancy grids (slot_cap in the hundreds after deep
+            # coarsening) degenerate the kernel's cell blocks below the
+            # DMA tiling unit — the jnp engine handles these shapes
+            pallas_near = False
+    if use_slots and pallas_near:
         # Fused Pallas near pass (physics/near_pallas.py): streams the
         # window rows through VMEM and emits the unsort's packed-lane
         # channel block directly — same per-pair semantics as one_chunk's
         # _gathered_pair_accum (tested against it), minus the HBM-
-        # materialized [B, win*S] pair temporaries.
+        # materialized [B, win*S] pair temporaries. cell_range (the
+        # sharded hook) maps to the kernel's traced cell_base + static
+        # slice length; the slot grid stays global either way.
         from nbodyax.physics.near_pallas import NUM_CH, slots_near_raw
         # slot grid in the kernel's [cell, feature, slot-lane] layout: the
         # one wide-row gather (same fslot as the jnp engine — per-feature
@@ -995,8 +1004,11 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
                         ((padc, padc), (0, 0), (0, s_pad - S)))
         raw = slots_near_raw(jrows, mode=mode,
                              eps2=eps2, growth=growth_rate,
-                             g=g, ring=ring, dim=dim, S=S, ci=ci_cap, L=L)
-        nslots = ncells * ci_cap
+                             g=g, ring=ring, dim=dim, S=S, ci=ci_cap, L=L,
+                             cell_base=cell_base,
+                             ncells_eval=(0 if cell_range is None
+                                          else ncells_eval))
+        nslots = ncells_eval * ci_cap
         nlane = {"reference": dim + 3, "momentum": dim + 3,
                  "elastic": 2 * dim}.get(mode, dim)
         packed_sl = jnp.pad(raw.reshape(nslots, NUM_CH)[:, :nlane],
@@ -1839,7 +1851,8 @@ def bh_cellrange_accumulators(pos, vel, mass, radius, shard, nshards: int, *,
                               order: int = 2, chunk: int = 8192,
                               far: str = "fmm",
                               near: str = "rows",
-                              comp_cap: int = 0) -> PairAccumulators:
+                              comp_cap: int = 0,
+                              near_pallas: str = "auto") -> PairAccumulators:
     """One cell-range shard's contribution to the global accumulators.
 
     Full-length [n] accumulators holding real values only for bodies whose
@@ -1858,7 +1871,8 @@ def bh_cellrange_accumulators(pos, vel, mass, radius, shard, nshards: int, *,
                           growth_rate=growth_rate, mode=mode, levels=levels,
                           ring=ring, neighbor_k=neighbor_k, order=order,
                           chunk=chunk, shard=shard, nshards=nshards, far=far,
-                          near=near, comp_cap=comp_cap)
+                          near=near, comp_cap=comp_cap,
+                          pallas_near=_resolve_near_pallas(near_pallas, near))
 
 
 @partial(jax.jit, static_argnames=("levels", "neighbor_k", "ring", "near",

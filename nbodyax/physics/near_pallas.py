@@ -58,6 +58,19 @@ NUM_CH = 8
 _NEG_INF = float(np.finfo(np.float32).min)  # "no candidate" sentinel
 
 
+def block_cells(ncells: int, ci: int, W: int) -> int:
+    """Cells per grid program: aim each [C, ci, W] f32 pair temporary at
+    ~4 MB (Mosaic keeps ~10 of them + double-buffered in/out windows live;
+    8 MB temps measured 164M > the 128M v5e VMEM at W=120); power of two
+    so it divides the (power-of-two) cell grid. The caller must fall back
+    to the jnp engine when this degenerates below 8 (huge-occupancy grids:
+    slot_cap 512 at occupancy 256 gives C=1, whose [C+2r, L, S] DMA slice
+    Mosaic rejects — and a 1-cell program would be slow anyway)."""
+    target = max(1, (4 << 20) // (4 * ci * max(W, 128)))
+    return min(1 << max(0, min(ncells.bit_length() - 1,
+                               target.bit_length() - 1)), ncells)
+
+
 def _koffs(g: int, ring: int, dim: int):
     """Static flat-cell offsets of the (2*ring+1)^(dim-1) window rows,
     CENTER ROW FIRST: the kernel reads its i-slots out of the center row's
@@ -70,7 +83,7 @@ def _koffs(g: int, ring: int, dim: int):
                   for o in offs]
 
 
-def _near_kernel(eps2_ref, growth_ref, jrows_hbm, out_ref, *,
+def _near_kernel(eps2_ref, growth_ref, cbase_ref, jrows_hbm, out_ref, *,
                  mode: str, g: int, ring: int, dim: int, C: int,
                  S: int, ci: int, L: int):
     """One block of C cells: i slots (the center row's first ci lanes per
@@ -90,7 +103,10 @@ def _near_kernel(eps2_ref, growth_ref, jrows_hbm, out_ref, *,
     rows = len(offs)
     need_vel = mode == "elastic"
     rest = 2 * dim if need_vel else dim
-    base = pl.program_id(0) * C
+    # cbase: first cell of this shard's contiguous slice (0 unsharded) —
+    # the slot grid and its padding are always GLOBAL, windows cross
+    # shard boundaries (barneshut._near_field_cells cell_range contract)
+    base = cbase_ref[0, 0] + pl.program_id(0) * C
 
     # cell coordinates of the block (x fastest in the flat id)
     cid = base + lax.broadcasted_iota(jnp.int32, (C, 1), 0)      # [C, 1]
@@ -273,9 +289,10 @@ def _near_kernel(eps2_ref, growth_ref, jrows_hbm, out_ref, *,
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "g", "ring", "dim", "S", "ci", "L",
-                     "interpret"))
+                     "ncells_eval", "interpret"))
 def slots_near_raw(jrows, *, mode: str, eps2, growth,
                    g: int, ring: int, dim: int, S: int, ci: int, L: int,
+                   cell_base=0, ncells_eval: int = 0,
                    interpret: Optional[bool] = None):
     """Near-field channel block for every (cell, i-slot) of the slot grid.
 
@@ -286,25 +303,23 @@ def slots_near_raw(jrows, *, mode: str, eps2, growth,
     slots are read out of the center window row in-kernel (each cell's
     first ci slot lanes) — no separate i-feature input.
 
-    Returns f32[g**dim, ci, NUM_CH]: per-slot channels in the unsort's
-    packed-lane order (force[0:dim], then mode lanes: gained_mass /
-    gained_radius / died_count | best_mass / parent_hi / parent_lo |
-    dv[0:dim]).
+    With ``cell_base``/``ncells_eval`` (the cell-sharded hooks), only that
+    contiguous cell slice is evaluated: cell_base is a traced scalar (the
+    shard's first cell), ncells_eval the static slice length; the slot
+    grid stays global so windows cross shard boundaries.
+
+    Returns f32[ncells_eval or g**dim, ci, NUM_CH]: per-slot channels in
+    the unsort's packed-lane order (force[0:dim], then mode lanes:
+    gained_mass / gained_radius / died_count | best_mass / parent_hi /
+    parent_lo | dv[0:dim]).
     """
-    ncells = g ** dim
+    ncells = ncells_eval or g ** dim
     win = 2 * ring + 1
     W = win * S
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    # block size: aim each [C, ci, W] f32 pair temporary at ~4 MB (Mosaic
-    # keeps ~10 of them + double-buffered in/out windows live; 8 MB temps
-    # measured 164M > the 128M v5e VMEM at W=120); power of two so it
-    # divides the grid
-    target = max(1, (4 << 20) // (4 * ci * max(W, 128)))
-    C = 1 << max(0, min(ncells.bit_length() - 1,
-                        target.bit_length() - 1))
-    C = min(C, ncells)
+    C = block_cells(ncells, ci, W)
 
     kernel = functools.partial(
         _near_kernel, mode=mode, g=g, ring=ring, dim=dim, C=C,
@@ -319,6 +334,7 @@ def slots_near_raw(jrows, *, mode: str, eps2, growth,
         in_specs=[
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),     # eps2
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),     # growth
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),     # cell_base
             pl.BlockSpec(memory_space=pltpu.ANY),      # jrows: manual DMA
         ],
         out_specs=pl.BlockSpec((C, ci, NUM_CH), lambda c: (c, 0, 0),
@@ -339,4 +355,5 @@ def slots_near_raw(jrows, *, mode: str, eps2, growth,
         interpret=interpret,
     )(jnp.asarray(eps2, jnp.float32).reshape(1, 1),
       jnp.asarray(growth, jnp.float32).reshape(1, 1),
+      jnp.asarray(cell_base, jnp.int32).reshape(1, 1),
       jrows)

@@ -93,7 +93,8 @@ def make_sharded_bh_step(cfg: SimConfig,
                 neighbor_k=cfg.bh_neighbor_k, order=cfg.bh_order,
                 far=getattr(cfg, "bh_far", "fmm"),
                 near=_resolve_near(cfg),
-                comp_cap=getattr(cfg, "bh_comp_cap", 0))
+                comp_cap=getattr(cfg, "bh_comp_cap", 0),
+                near_pallas=getattr(cfg, "bh_pallas", "auto"))
             sc = lambda x: lax.psum_scatter(x, AXIS, scatter_dimension=0,
                                             tiled=True)
             i_loc = me * n_local + jnp.arange(n_local, dtype=jnp.int32)

@@ -337,9 +337,12 @@ def test_percell_completion_pass_exact_in_crowded_cell():
                                np.asarray(ex.gained_mass), rtol=1e-5)
 
 
-@pytest.mark.parametrize("mode", ["reference", "momentum", "elastic"])
-@pytest.mark.parametrize("dim", [2, 3])
-def test_pallas_near_matches_jnp_slots(mode, dim):
+@pytest.mark.parametrize("mode,dim,ring", [
+    ("reference", 2, 1), ("momentum", 2, 1), ("elastic", 2, 1),
+    ("reference", 3, 1), ("momentum", 3, 1), ("elastic", 3, 1),
+    ("reference", 2, 2),      # 5-cell windows: the generic koff/mask path
+])
+def test_pallas_near_matches_jnp_slots(mode, dim, ring):
     """The fused Pallas slots near kernel (physics/near_pallas.py, run in
     interpret mode on CPU) must reproduce the jnp slots engine: identical
     partner sets and per-pair semantics, float channels to accumulation-
@@ -359,7 +362,8 @@ def test_pallas_near_matches_jnp_slots(mode, dim):
     radius = rng.uniform(1, 12, n).astype(np.float32)
     ext = _extent(jnp.asarray(pos), jnp.asarray(mass) > 0)
     lv = 3 if dim == 3 else 4
-    args = (ext, lv, 1, jnp.float32(50.0) ** 2, jnp.float32(0.1), mode, 40)
+    args = (ext, lv, ring, jnp.float32(50.0) ** 2, jnp.float32(0.1), mode,
+            40)
     a = _near_field_cells(pos, vel, mass, radius, *args, ci_cap=32,
                           near="slots", pallas_near=False)
     b = _near_field_cells(pos, vel, mass, radius, *args, ci_cap=32,

@@ -254,6 +254,45 @@ def test_bh_adapt_fixes_small_persistent_overflow(tmp_path, capsys):
     assert out.count("bh adapt") == 1, out
 
 
+def test_bh_adapt_repeated_widening_under_sustained_collapse(tmp_path,
+                                                             capsys):
+    """VERDICT r2 #8: a state that keeps drifting (here a radial collapse —
+    every body falls toward the origin, so per-cell occupancy rises every
+    window) must trigger MULTIPLE adaptations, each landing on the
+    count-aware measured cap, with bounded recompiles and bh_overflow back
+    to 0 by the following health check every time."""
+    rng = np.random.RandomState(19)
+    n = 512
+    pos = rng.uniform(-900, 900, (n, 2)).astype(np.float32)
+    vel = (-0.12 * pos).astype(np.float32)   # 12%/step radial collapse
+    # two stationary corner anchors PIN the adaptive bounding box: without
+    # them the extent shrinks with the collapse and per-cell occupancy
+    # never rises
+    pos[0], vel[0] = (-900.0, -900.0), (0.0, 0.0)
+    pos[1], vel[1] = (900.0, 900.0), (0.0, 0.0)
+    from nbodyax.state import make_state
+    st = make_state(pos, vel, np.full(n, 1.0, np.float32),
+                    np.full(n, 0.01, np.float32))
+    cfg = base_cfg(tmp_path, particle_count=n, total_iterations=16,
+                   force_model="bh", collision_mode="none", softening=100.0,
+                   bh_levels=4, bh_neighbor_k=16, bh_near="rows",
+                   log_every=2, field_width=2000, field_height=2000,
+                   timestep=1.0)
+    run_simulation(cfg, quiet=False, state=st)
+    out = capsys.readouterr().out
+    adapts = [l for l in out.splitlines() if l.startswith("bh adapt")]
+    assert len(adapts) >= 2, out                 # sustained drift re-adapts
+    assert len(adapts) <= 6, out                 # ... with bounded rebuilds
+    lines = [json.loads(l) for l in open(cfg.log_path).read().splitlines()]
+    ov = [l["bh_overflow"] for l in lines]
+    # DURING the collapse each count-aware widening is exact for the state
+    # it measured but the density keeps outrunning it; once the drift
+    # stops, the last adapt must have restored exactness and HELD it
+    assert ov[-1] == 0 and ov[-2] == 0, ov
+    last_bad = max(i for i, o in enumerate(ov) if o > 0)
+    assert all(o == 0 for o in ov[last_bad + 1:]), ov
+
+
 def test_bh_adapt_coarsens_levels_when_radii_outgrow_window(tmp_path, capsys):
     """bhAdapt: radii larger than the ring's collision coverage at the
     current finest level must coarsen bhLevels between windows."""
