@@ -801,13 +801,25 @@ def _completion_slice(over, n, comp_range, comp_cap: int = 0):
     return ps
 
 
+def _build_slot_grid(sf, starts, ends, n, ncells, S):
+    """The global partner slot grid [ncells, S, L]: each cell's first S
+    sorted rows, inert pad rows past its count. One wide gather — the
+    single most expensive near-build op (scatter and per-feature variants
+    A/B-measured slower; NEXT.md negative results)."""
+    pslots = (starts[:, None]
+              + lax.broadcasted_iota(jnp.int32, (ncells, S), 1))
+    p_ok = pslots < jnp.minimum(ends, starts + S)[:, None]
+    return sf[jnp.where(p_ok, pslots, n)]
+
+
 def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
                       growth_rate, mode, k, ci_cap: int = _CI_CAP,
                       chunk: int = 8192, _structure=None,
                       cell_range=None, comp_range=None,
                       near: str = "rows",
                       comp_cap: int = 0,
-                      pallas_near: bool = False) -> PairAccumulators:
+                      pallas_near: bool = False,
+                      _fslot=None) -> PairAccumulators:
     """Near field for the FULL body set (i side == partner set): per-CELL
     shared windows, via one of two engines.
 
@@ -884,11 +896,12 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
     win = 2 * ring + 1
 
     if use_slots:
-        # the global partner slot grid (one gather; all windows slice it)
-        pslots = (starts[:, None]
-                  + lax.broadcasted_iota(jnp.int32, (ncells, S), 1))
-        p_ok = pslots < jnp.minimum(ends, starts + S)[:, None]
-        fslot = sf[jnp.where(p_ok, pslots, n)]           # [ncells, S, L]
+        # the global partner slot grid (one gather; all windows slice it).
+        # _fslot is the caller-shared copy (_bh_cells_eval builds it once
+        # for the near pass AND the annulus i-side — the gather is the
+        # single most expensive build op, ~0.25 s at N=4M)
+        fslot = _fslot if _fslot is not None else _build_slot_grid(
+            sf, starts, ends, n, ncells, S)
         padc = ring * sum(g ** d for d in range(dim))    # max window reach
         fslot_flat = jnp.pad(fslot.reshape(ncells * S, L),
                              ((padc * S, padc * S), (0, 0)))
@@ -1534,7 +1547,7 @@ def _annulus_offsets(w_near, w_far, dim):
 
 def _annulus_force_cells(packed, ext, levels, w_near, w_far, eps2, order,
                          structure, ci_cap: int = _CI_CAP,
-                         chunk: int = 8192, cell_range=None):
+                         chunk: int = 8192, cell_range=None, fslot=None):
     """Exact-target force from the finest-level annulus cells
     (w_near < |delta|_inf <= w_far): the shell a local expansion would
     evaluate at its worst opening ratio, so the hybrid FMM hands it to the
@@ -1573,10 +1586,20 @@ def _annulus_force_cells(packed, ext, levels, w_near, w_far, eps2, order,
         for _ in range(dim):                # x fastest
             coords.append(rem % g)
             rem = rem // g
-        st_c = starts[cid]
+        # per-cell [start, end) via SLICES (cid is a contiguous range)
+        st_c = lax.dynamic_slice_in_dim(starts, base, cell_chunk)
+        en_c = lax.dynamic_slice_in_dim(ends, base, cell_chunk)
         isl = st_c[:, None] + slots_i                       # [Cc, ci]
-        i_ok = isl < jnp.minimum(ends[cid], st_c + ci_cap)[:, None]
-        fi = sf[jnp.where(i_ok, isl, n)]                    # [Cc, ci, L]
+        i_ok = isl < jnp.minimum(en_c, st_c + ci_cap)[:, None]
+        if fslot is not None:
+            # the caller's shared slot grid: the i slots are its first
+            # ci_cap rows per cell — a SLICE, replacing this pass's own
+            # [ncells*ci]-row gather (~0.2 s of the N=4M annulus)
+            fi = lax.dynamic_slice(
+                fslot, (base, 0, 0),
+                (cell_chunk, ci_cap, fslot.shape[-1]))
+        else:
+            fi = sf[jnp.where(i_ok, isl, n)]                # [Cc, ci, L]
         pxs = [fi[..., d:d + 1] for d in range(dim)]
         ii = _unpack_id(fi[..., -2], fi[..., -1])
         sidx = jnp.where(i_ok, ii, n).reshape(B)
@@ -1700,12 +1723,18 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
     else:
         cell_range = comp_range = None
 
+    # the slot grid is shared between the near pass and the annulus's
+    # i-side (its gather is the single most expensive build op at large N)
+    fslot = (None if near != "slots" else _build_slot_grid(
+        structure[4], starts, structure[3], n, ncells,
+        max(neighbor_k, cap)))
     near_acc = _near_field_cells(pos, vel, mass, radius, ext, levels, ring,
                                  eps2, jnp.float32(growth_rate), mode,
                                  neighbor_k, ci_cap=cap, chunk=c,
                                  _structure=structure, cell_range=cell_range,
                                  comp_range=comp_range, near=near,
-                                 comp_cap=comp_cap, pallas_near=pallas_near)
+                                 comp_cap=comp_cap, pallas_near=pallas_near,
+                                 _fslot=fslot)
 
     if far == "fmm":
         # Hybrid FMM: local expansions with interaction lists at ring+1
@@ -1743,7 +1772,8 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
         far_all = jnp.where(keep[:, None], far_all, 0.0)
         aslots, _ = _annulus_force_cells(
             packed_finest, ext, levels, ring, ring + 1, eps2, 2,
-            structure, ci_cap=cap, chunk=c, cell_range=cell_range)
+            structure, ci_cap=cap, chunk=c, cell_range=cell_range,
+            fslot=fslot)
         # gather-based unsort (same slot arithmetic as the near pass;
         # scatters measured ~3x the cost of gathers on v5e)
         a_valid, a_idx = _slot_unsort_idx(pos, mass, ext, g, order_idx,
