@@ -308,10 +308,19 @@ def _level_grids(pos, mass, ext, levels, order=1):
     cs = _cells(pos, ext, g)
     flat = _flatten_cells(cs, g)
     ncells = g ** dim
-    zero = jnp.zeros((ncells,), jnp.float32)
+
+    def scatter_chans(chans):
+        # ONE row scatter-add for all moment channels: per-channel
+        # scatters profiled at ~7 ms EACH for 1M bodies on v5e (6 channels
+        # = 42 ms of the N=1M bh step) — TPU scatter cost is per update
+        # ROW, nearly independent of row width
+        big = jnp.zeros((ncells, len(chans)), jnp.float32).at[flat].add(
+            jnp.stack(chans, axis=1), mode="drop")
+        return tuple(big[:, i] for i in range(len(chans)))
+
     if order < 2:
         chans = [mass] + [mass * pos[:, d] for d in range(dim)]
-        grids = {levels: tuple(zero.at[flat].add(c) for c in chans)}
+        grids = {levels: scatter_chans(chans)}
         for l in range(levels - 1, 1, -1):
             s = 1 << (l + 1)
             grids[l] = tuple(_pool(a, s, dim) for a in grids[l + 1])
@@ -324,7 +333,7 @@ def _level_grids(pos, mass, ext, levels, order=1):
          for d in range(dim)]
     chans = ([mass] + [mass * r[d] for d in range(dim)]
              + [mass * r[a] * r[b] for a, b in pairs])
-    grids = {levels: tuple(zero.at[flat].add(c) for c in chans)}
+    grids = {levels: scatter_chans(chans)}
     for l in range(levels - 1, 1, -1):
         s = 1 << (l + 1)                      # child grid side
         arrs = grids[l + 1]
@@ -604,9 +613,20 @@ def _partner_structure(pos, vel, mass, radius, ext, g, need_vel):
     s_cell = cell[order]
     # per-cell [start, end) via histogram + cumsum: 2.6x faster than two
     # searchsorted passes at N=4M (0.059 vs 0.155 s incl. the shared
-    # argsort; empty cells get starts == ends either way)
+    # argsort; empty cells get starts == ends either way). The cumsum runs
+    # blocked ([rows, 128]: lane-wise scans over all rows in parallel +
+    # one short row-offset scan) — XLA's flat 1-D cumsum profiled at 9 ms
+    # for 65K cells on v5e
     occ = jnp.zeros((ncells + 1,), jnp.int32).at[cell].add(1)
-    ends = jnp.cumsum(occ[:ncells], dtype=jnp.int32)
+    if ncells >= 256:                        # power of two -> 128 | ncells
+        o2 = occ[:ncells].reshape(-1, 128)
+        row = jnp.cumsum(o2, axis=1, dtype=jnp.int32)
+        offs = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(row[:, -1], dtype=jnp.int32)])[:-1]
+        ends = (row + offs[:, None]).reshape(-1)
+    else:
+        ends = jnp.cumsum(occ[:ncells], dtype=jnp.int32)
     starts = ends - occ[:ncells]
     # pack features FIRST, then ONE wide row gather by the sort order —
     # per-feature column gathers measured 2.5x slower at N=4M (0.259 vs
@@ -819,7 +839,8 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
                       near: str = "rows",
                       comp_cap: int = 0,
                       pallas_near: bool = False,
-                      _fslot=None) -> PairAccumulators:
+                      _fslot=None,
+                      far_slot_lanes=None) -> PairAccumulators:
     """Near field for the FULL body set (i side == partner set): per-CELL
     shared windows, via one of two engines.
 
@@ -1024,8 +1045,7 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
         nslots = ncells_eval * ci_cap
         nlane = {"reference": dim + 3, "momentum": dim + 3,
                  "elastic": 2 * dim}.get(mode, dim)
-        packed_sl = jnp.pad(raw.reshape(nslots, NUM_CH)[:, :nlane],
-                            ((0, 1), (0, 0)))
+        packed_core = raw.reshape(nslots, NUM_CH)[:, :nlane]
     else:
         if nchunks == 1:
             acc = jax.tree.map(lambda x: x[None], one_chunk(jnp.int32(0)))
@@ -1051,7 +1071,14 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
             lanes += [acc.best_mass, p_hi, p_lo]
         elif mode == "elastic":
             lanes += [acc.dv[:, d] for d in range(dim)]
-        packed_sl = jnp.pad(jnp.stack(lanes, axis=1), ((0, 1), (0, 0)))
+        packed_core = jnp.stack(lanes, axis=1)
+
+    if far_slot_lanes is not None:
+        # the caller's per-SLOT far-field forces (slot-side L2P + annulus)
+        # ride the same unsort gather as the near channels — one combined
+        # row per body instead of separate far gathers/unsorts
+        packed_core = jnp.concatenate([packed_core, far_slot_lanes], axis=1)
+    packed_sl = jnp.pad(packed_core, ((0, 1), (0, 0)))
 
     valid, slot_idx = _slot_unsort_idx(pos, mass, ext, g, order, starts,
                                        ncells, ci_cap, cell_range, nslots)
@@ -1059,8 +1086,10 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
     ids_b = jnp.arange(n, dtype=jnp.int32)
     out = empty_accumulators(jnp.arange(n + 1, dtype=jnp.int32), dim=dim)
     vcol = valid[:, None]
-    force = jnp.where(vcol, row[:, 0:dim], 0.0)
-    force = jnp.pad(force, ((0, 1), (0, 0)))
+    force = row[:, 0:dim]
+    if far_slot_lanes is not None:
+        force = force + row[:, -dim:]
+    force = jnp.pad(jnp.where(vcol, force, 0.0), ((0, 1), (0, 0)))
     out = out._replace(force=force)
     pad1 = lambda x, cv=0.0: jnp.pad(x, (0, 1), constant_values=cv)
     if mode == "reference":
@@ -1499,6 +1528,51 @@ def _l2p(local, pos, ext, levels, dim, degree=3):
     return jnp.stack(out, axis=1)
 
 
+def _l2p_slots(local, pslot, ext, levels, dim, degree=3, cell0=None):
+    """L2P evaluated at each cell's SLOT positions: local rows are
+    cell-major and slot positions come straight from the slot grid, so —
+    unlike the per-body ``_l2p`` — there are ZERO gathers (the per-body row
+    gather profiled at 10.4 ms of the N=1M step). ``pslot`` is
+    [nc, ci, dim] (the slot grid's position lanes); ``cell0`` offsets the
+    cell ids for a sharded contiguous slice. Returns [nc, ci, dim] forces;
+    pad slots compute junk the unsort never reads.
+
+    The math is _shifted_block at rank 1 (the force block of the Taylor
+    series) with the per-cell expansion broadcast over the cell's slots."""
+    import itertools
+    import math
+    _, lidx = _fmm_layout(dim, degree)
+    g = 1 << levels
+    nc = pslot.shape[0]
+    mins, csz = _cell_sizes(ext, g)
+    iota = lax.broadcasted_iota(jnp.int32, (nc, 1), 0)
+    if cell0 is not None:
+        iota = iota + cell0
+    y = []
+    rem = iota
+    for d in range(dim):                     # x fastest
+        cd = rem % g
+        rem = rem // g
+        ctr = mins[d] + (cd.astype(jnp.float32) + 0.5) * csz[d]
+        y.append(pslot[..., d] - ctr)        # [nc, ci]
+    cols = []
+    for I in range(dim):
+        c = None
+        for m in range(0, degree + 1):
+            f = 1.0 / math.factorial(m)
+            for K in itertools.combinations_with_replacement(range(dim), m):
+                perms = math.factorial(m)
+                for v in set(K):
+                    perms //= math.factorial(K.count(v))
+                term = local[:, lidx[tuple(sorted((I,) + K))]][:, None] \
+                    * (f * perms)
+                for kk in K:
+                    term = term * y[kk]
+                c = term if c is None else c + term
+        cols.append(c)
+    return jnp.stack(cols, axis=-1)          # [nc, ci, dim]
+
+
 def _fmm_local_table(pos, mass, ext, levels, ring, eps2, order, degree=3,
                      grids=None):
     """The finest-level local-expansion table [2^(dim*levels), n_loc]:
@@ -1728,14 +1802,8 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
     fslot = (None if near != "slots" else _build_slot_grid(
         structure[4], starts, structure[3], n, ncells,
         max(neighbor_k, cap)))
-    near_acc = _near_field_cells(pos, vel, mass, radius, ext, levels, ring,
-                                 eps2, jnp.float32(growth_rate), mode,
-                                 neighbor_k, ci_cap=cap, chunk=c,
-                                 _structure=structure, cell_range=cell_range,
-                                 comp_range=comp_range, near=near,
-                                 comp_cap=comp_cap, pallas_near=pallas_near,
-                                 _fslot=fslot)
 
+    far_slot_lanes = None
     if far == "fmm":
         # Hybrid FMM: local expansions with interaction lists at ring+1
         # (good opening ratio -> ~1e-3 truncation there), plus the
@@ -1750,7 +1818,39 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
         packed_finest = jnp.stack(grids[levels], axis=1)
         local_tab = _fmm_local_table(pos, mass, ext, levels, ring + 1, eps2,
                                      order, grids=grids)
-        far_all = _l2p(local_tab, pos, ext, levels, dim)
+        aslots, _ = _annulus_force_cells(
+            packed_finest, ext, levels, ring, ring + 1, eps2, 2,
+            structure, ci_cap=cap, chunk=c, cell_range=cell_range,
+            fslot=fslot)
+        if near == "slots":
+            # slot-side far field: L2P evaluated per slot (zero gathers —
+            # local rows are cell-major) + the annulus slots, appended to
+            # the near pass's packed lanes so ONE unsort gather carries
+            # near AND far. Replaces the per-body L2P row gather (10.4 ms
+            # at N=1M), the annulus's own unsort gather (6.3 ms) and the
+            # over_body keep-mask scatter (5.6 ms). Overflow bodies take
+            # their whole far field from the completion pass, as before.
+            ncells_eval = ncells if cell_range is None else cell_range[1]
+            cell0 = None if cell_range is None else cell_range[0]
+            lt = (local_tab if cell0 is None else lax.dynamic_slice_in_dim(
+                local_tab, cell0, ncells_eval))
+            fs = (fslot if cell0 is None else lax.dynamic_slice_in_dim(
+                fslot, cell0, ncells_eval))
+            l2p_sl = _l2p_slots(lt, fs[:, :cap, 0:dim], ext, levels, dim,
+                                cell0=cell0)
+            far_slot_lanes = (l2p_sl.reshape(ncells_eval * cap, dim)
+                              + aslots)
+
+    near_acc = _near_field_cells(pos, vel, mass, radius, ext, levels, ring,
+                                 eps2, jnp.float32(growth_rate), mode,
+                                 neighbor_k, ci_cap=cap, chunk=c,
+                                 _structure=structure, cell_range=cell_range,
+                                 comp_range=comp_range, near=near,
+                                 comp_cap=comp_cap, pallas_near=pallas_near,
+                                 _fslot=fslot,
+                                 far_slot_lanes=far_slot_lanes)
+
+    if far == "fmm":
         # crowded-cell overflow bodies (beyond their cell's fast-pass
         # slots) take their WHOLE far field — L2P and annulus — from the
         # completion pass below, so each body is touched by exactly one
@@ -1760,29 +1860,31 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
         srank = (jnp.arange(n, dtype=jnp.int32)
                  - starts[jnp.clip(s_cell, 0, ncells - 1)])
         over = (srank >= cap) & (s_cell < ncells)
-        over_body = jnp.zeros((n,), bool).at[order_idx].set(over)
-        keep = alive & ~over_body
-        if cell_range is not None:
-            # dead bodies sit in the out-of-grid bucket ncells, outside
-            # every shard's cell range
-            cell = jnp.where(alive,
-                             _flatten_cells(_cells(pos, ext, g), g), ncells)
-            keep = keep & (cell >= cell_range[0]) & (cell < cell_range[0]
-                                                     + cell_range[1])
-        far_all = jnp.where(keep[:, None], far_all, 0.0)
-        aslots, _ = _annulus_force_cells(
-            packed_finest, ext, levels, ring, ring + 1, eps2, 2,
-            structure, ci_cap=cap, chunk=c, cell_range=cell_range,
-            fslot=fslot)
-        # gather-based unsort (same slot arithmetic as the near pass;
-        # scatters measured ~3x the cost of gathers on v5e)
-        a_valid, a_idx = _slot_unsort_idx(pos, mass, ext, g, order_idx,
-                                          starts, ncells, cap, cell_range,
-                                          aslots.shape[0])
-        ann = jnp.pad(jnp.where(
-            a_valid[:, None],
-            jnp.pad(aslots, ((0, 1), (0, 0)))[a_idx], 0.0),
-            ((0, 1), (0, 0)))
+        if far_slot_lanes is not None:
+            # slot bodies' far field already rode the near unsort; only
+            # the completion bodies still need theirs
+            ann = jnp.zeros((n + 1, dim), jnp.float32)
+        else:
+            far_all = _l2p(local_tab, pos, ext, levels, dim)
+            over_body = jnp.zeros((n,), bool).at[order_idx].set(over)
+            keep = alive & ~over_body
+            if cell_range is not None:
+                # dead bodies sit in the out-of-grid bucket ncells,
+                # outside every shard's cell range
+                cell = jnp.where(
+                    alive, _flatten_cells(_cells(pos, ext, g), g), ncells)
+                keep = keep & (cell >= cell_range[0]) & (
+                    cell < cell_range[0] + cell_range[1])
+            # gather-based unsort (same slot arithmetic as the near pass;
+            # scatters measured ~3x the cost of gathers on v5e)
+            a_valid, a_idx = _slot_unsort_idx(pos, mass, ext, g, order_idx,
+                                              starts, ncells, cap,
+                                              cell_range, aslots.shape[0])
+            ann = jnp.pad(jnp.where(
+                a_valid[:, None],
+                jnp.pad(aslots, ((0, 1), (0, 0)))[a_idx], 0.0),
+                ((0, 1), (0, 0)))
+            ann = ann.at[:n].add(jnp.where(keep[:, None], far_all, 0.0))
         ps = _completion_slice(over, n, comp_range, comp_cap)
 
         def run_ann_completion(av, psx):
@@ -1794,7 +1896,7 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
             return av.at[osidx].set(af)
 
         ann = _tiered(ps, n, run_ann_completion, ann)[:n]
-        far_v = far_all + ann
+        far_v = ann
     else:
         # "direct": gathered per-cell window pass + per-body completion.
         # Build the level grids ONCE here and thread them through: the
