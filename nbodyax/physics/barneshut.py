@@ -609,8 +609,12 @@ def _partner_structure(pos, vel, mass, radius, ext, g, need_vel):
     alive = mass > 0
     cell = jnp.where(alive, _flatten_cells(_cells(pos, ext, g), g),
                      ncells)                           # dead -> bucket
-    order = jnp.argsort(cell).astype(jnp.int32)        # sorted -> global index
-    s_cell = cell[order]
+    # ONE stable sort carries the iota payload, so the sorted cell ids come
+    # out of the sort itself — the old argsort + cell[order] re-gather paid
+    # an extra 7.5 ms at N=1M (stability matters: ties keep id order, which
+    # fixes slot occupancy and f32 accumulation order, pinned by goldens)
+    s_cell, order = lax.sort(
+        (cell, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True)
     # per-cell [start, end) via histogram + cumsum: 2.6x faster than two
     # searchsorted passes at N=4M (0.059 vs 0.155 s incl. the shared
     # argsort; empty cells get starts == ends either way). The cumsum runs
@@ -738,19 +742,22 @@ def _near_field(i_pos, i_vel, i_mass, i_radius, i_ids,
     return jax.tree.map(lambda x: x.reshape((npad,) + x.shape[2:])[:n_i], acc)
 
 
-def _slot_unsort_idx(pos, mass, ext, g, order, starts, ncells, ci_cap,
-                     cell_range, nslots):
+def _slot_unsort_idx(pos, mass, ext, g, order, starts, s_cell, ncells,
+                     ci_cap, cell_range, nslots):
     """Body -> per-cell-slot index map for gather-based unsorting of slot
     arrays (slot = (cell - base) * ci_cap + rank): returns (valid, idx)
     with idx = nslots (a pad row) where invalid. One i32 scatter (the
-    inverse permutation); everything else elementwise + small gathers."""
+    sorted ranks back to body order — its source expression is shared
+    with the completion pass's srank, so the old inverse-permutation
+    scatter + starts[cell] gather collapse to this single scatter);
+    everything else is elementwise."""
     n = pos.shape[0]
-    inv = jnp.zeros((n,), jnp.int32).at[order].set(
-        jnp.arange(n, dtype=jnp.int32))
+    srank = (jnp.arange(n, dtype=jnp.int32)
+             - starts[jnp.clip(s_cell, 0, ncells - 1)])
+    rank_b = jnp.zeros((n,), jnp.int32).at[order].set(srank)
     alive_b = mass > 0
     cellb = jnp.where(alive_b, _flatten_cells(_cells(pos, ext, g), g),
                       ncells)
-    rank_b = inv - starts[jnp.clip(cellb, 0, ncells - 1)]
     base = jnp.int32(0) if cell_range is None else cell_range[0]
     rel = cellb - base
     n_eval = ncells if cell_range is None else cell_range[1]
@@ -806,6 +813,23 @@ def _tiered(ps, n, run, carry):
             lambda c2: run(c2, lax.slice_in_dim(ps, 0, small)),
             lambda c2: run(c2, ps), c),
         carry)
+
+
+def _tiered_completion(over, n, comp_range, comp_cap, run, carry):
+    """_completion_slice + _tiered with the ``jnp.nonzero`` itself gated
+    behind an any-overflow cond: the nonzero's 1M-element cumsum profiled
+    at 9.2 ms of the N=1M step and runs even on scenes that never
+    overflow. Clean (typical) scenes skip it entirely; crowded scenes pay
+    one extra reduce — and, with several completion passes per step, one
+    un-CSE-able nonzero per cond (~0.2% of the N=4M galaxy step, where
+    the completion work itself dominates)."""
+    total = jnp.sum(over.astype(jnp.int32))
+
+    def nonempty(c):
+        ps = _completion_slice(over, n, comp_range, comp_cap)
+        return _tiered(ps, n, run, c)
+
+    return lax.cond(total == 0, lambda c: c, nonempty, carry)
 
 
 def _completion_slice(over, n, comp_range, comp_cap: int = 0):
@@ -1081,7 +1105,8 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
     packed_sl = jnp.pad(packed_core, ((0, 1), (0, 0)))
 
     valid, slot_idx = _slot_unsort_idx(pos, mass, ext, g, order, starts,
-                                       ncells, ci_cap, cell_range, nslots)
+                                       s_cell, ncells, ci_cap, cell_range,
+                                       nslots)
     row = packed_sl[slot_idx]
     ids_b = jnp.arange(n, dtype=jnp.int32)
     out = empty_accumulators(jnp.arange(n + 1, dtype=jnp.int32), dim=dim)
@@ -1113,7 +1138,6 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
     srank = (jnp.arange(n, dtype=jnp.int32)
              - starts[jnp.clip(s_cell, 0, ncells - 1)])
     over = (srank >= ci_cap) & (s_cell < ncells)
-    ps = _completion_slice(over, n, comp_range, comp_cap)
 
     def run_completion(out, psx):
         gi = order[jnp.clip(psx, 0, n - 1)]  # fills -> a real body, dropped
@@ -1135,7 +1159,8 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
     # when nothing in range overflowed, run a _COMP_TIER-body slice for the
     # Poisson-tail trickle a uniform scene always has, and pay the full
     # budget only for genuinely clustered states.
-    out = _tiered(ps, n, run_completion, out)
+    out = _tiered_completion(over, n, comp_range, comp_cap,
+                             run_completion, out)
     return jax.tree.map(lambda x: x[:n], out)
 
 
@@ -1878,14 +1903,13 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
             # gather-based unsort (same slot arithmetic as the near pass;
             # scatters measured ~3x the cost of gathers on v5e)
             a_valid, a_idx = _slot_unsort_idx(pos, mass, ext, g, order_idx,
-                                              starts, ncells, cap,
+                                              starts, s_cell, ncells, cap,
                                               cell_range, aslots.shape[0])
             ann = jnp.pad(jnp.where(
                 a_valid[:, None],
                 jnp.pad(aslots, ((0, 1), (0, 0)))[a_idx], 0.0),
                 ((0, 1), (0, 0)))
             ann = ann.at[:n].add(jnp.where(keep[:, None], far_all, 0.0))
-        ps = _completion_slice(over, n, comp_range, comp_cap)
 
         def run_ann_completion(av, psx):
             gi = order_idx[jnp.clip(psx, 0, n - 1)]
@@ -1895,7 +1919,8 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
                   + _l2p(local_tab, pos[gi], ext, levels, dim))
             return av.at[osidx].set(af)
 
-        ann = _tiered(ps, n, run_ann_completion, ann)[:n]
+        ann = _tiered_completion(over, n, comp_range, comp_cap,
+                                 run_ann_completion, ann)[:n]
         far_v = ann
     else:
         # "direct": gathered per-cell window pass + per-body completion.
@@ -1911,7 +1936,6 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
         srank = (jnp.arange(n, dtype=jnp.int32)
                  - starts[jnp.clip(s_cell, 0, ncells - 1)])
         over = (srank >= cap) & (s_cell < ncells)
-        ps = _completion_slice(over, n, comp_range, comp_cap)
 
         def run_far_completion(fv, psx):
             gi = order_idx[jnp.clip(psx, 0, n - 1)]
@@ -1921,8 +1945,9 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
                                   grids=d_grids)
             return fv.at[osidx].set(far_over)
 
-        # same tiered static-budget elision as the near completion (_tiered)
-        far_v = _tiered(ps, n, run_far_completion, far_v)[:n]
+        # same tiered static-budget elision as the near completion
+        far_v = _tiered_completion(over, n, comp_range, comp_cap,
+                                   run_far_completion, far_v)[:n]
 
     ids = jnp.arange(n, dtype=jnp.int32)
     far_acc = empty_accumulators(ids, dim=dim)._replace(
