@@ -381,6 +381,45 @@ def test_pallas_near_matches_jnp_slots(mode, dim, ring):
     np.testing.assert_array_equal(np.asarray(a.parent), np.asarray(b.parent))
 
 
+@pytest.mark.parametrize("dim", [2, 3])
+def test_l2p_slots_matches_per_body_l2p(dim):
+    """The slot-side L2P (zero gathers; rides the near unsort) must evaluate
+    the same local expansions at the same positions as the per-body _l2p —
+    slot by slot, with pad slots ignored."""
+    import jax.numpy as jnp
+    from nbodyax.physics.barneshut import (_build_slot_grid, _extent,
+                                           _fmm_local_table, _l2p,
+                                           _l2p_slots, _partner_structure,
+                                           slot_cap)
+
+    rng = np.random.RandomState(9)
+    n = 2048
+    lv = 3
+    pos = rng.uniform(-900, 900, (n, dim)).astype(np.float32)
+    mass = rng.uniform(1, 100, n).astype(np.float32)
+    mass[5] = 0.0
+    vel = np.zeros((n, dim), np.float32)
+    radius = np.ones(n, np.float32)
+    ext = _extent(jnp.asarray(pos), jnp.asarray(mass) > 0)
+    g = 1 << lv
+    ncells = g ** dim
+    order, s_cell, starts, ends, sf = _partner_structure(
+        pos, vel, mass, radius, ext, g, False)
+    ci = slot_cap(n, ncells)
+    fslot = _build_slot_grid(sf, starts, ends, n, ncells, ci)
+    local = _fmm_local_table(pos, mass, ext, lv, 2, jnp.float32(100.0) ** 2,
+                             2)
+    a = np.asarray(_l2p_slots(local, fslot[:, :ci, 0:dim], ext, lv, dim))
+    b = np.asarray(_l2p(local, jnp.asarray(pos), ext, lv, dim))
+    scale = max(np.abs(b).max(), 1e-20)
+    pslots = np.asarray(starts)[:, None] + np.arange(ci)[None, :]
+    ok = pslots < np.minimum(np.asarray(ends),
+                             np.asarray(starts) + ci)[:, None]
+    body = np.asarray(order)[np.clip(pslots, 0, n - 1)]
+    err = np.abs(a - b[body]).max(where=ok[..., None], initial=0.0)
+    assert err < 2e-5 * scale, err
+
+
 def test_near_field_id_packing_exact_beyond_2pow24():
     """Body ids ride two f32 lanes (12-bit lo / hi) in the packed near-field
     rows — the round trip must be exact for any i32 id, removing the old
