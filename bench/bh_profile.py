@@ -30,6 +30,11 @@ def main(argv=None) -> int:
                     help="fused Pallas near kernel (bhNear=slots only)")
     ap.add_argument("--only", default="",
                     help="comma-separated probe names (default: all)")
+    ap.add_argument("--scene", default="uniform",
+                    choices=("uniform", "galaxy"),
+                    help="scene to profile (galaxy = BASELINE config-5 disks)")
+    ap.add_argument("--compcap", type=int, default=0,
+                    help="bhCompCap completion-budget override (0 = default)")
     args = ap.parse_args(argv)
 
     import jax
@@ -52,7 +57,8 @@ def main(argv=None) -> int:
                     bh_neighbor_k=args.k, bh_ring=args.ring,
                     bh_order=args.order, dimensions=args.dim,
                     bh_far=args.far, bh_near=args.near,
-                    bh_pallas=args.pallas)
+                    bh_pallas=args.pallas, scene=args.scene,
+                    bh_comp_cap=args.compcap)
     state = init_scene(cfg, parity=False)
     pos, vel = state.pos, state.vel
     mass, radius = state.mass, state.radius
@@ -81,6 +87,7 @@ def main(argv=None) -> int:
                               ring=args.ring, neighbor_k=args.k,
                               order=args.order, ci_cap=args.cicap,
                               far=args.far, near=args.near,
+                              comp_cap=args.compcap,
                               near_pallas=args.pallas)
         return acc.force[0, 0] + acc.gained_mass[-1]
 
@@ -121,7 +128,7 @@ def main(argv=None) -> int:
         acc = _near_field_cells(pos, vel, mass, radius, ext, levels,
                                 args.ring, eps2, jnp.float32(0.1),
                                 "reference", args.k, ci_cap=cap,
-                                near=args.near,
+                                near=args.near, comp_cap=args.compcap,
                                 pallas_near=_resolve_near_pallas(
                                     args.pallas, args.near))
         return acc.force[0, 0] + acc.gained_mass[-1]
@@ -169,7 +176,8 @@ def main(argv=None) -> int:
     only = [s for s in (args.only or "").split(",") if s]
     out = {"n": n, "levels": levels, "k": args.k, "ring": args.ring,
            "order": args.order, "dim": args.dim, "ci_cap": cap,
-           "far": args.far, "near": args.near, "pallas": args.pallas}
+           "far": args.far, "near": args.near, "pallas": args.pallas,
+           "scene": args.scene}
     for name, (fn, a) in probes.items():
         if only and name not in only:
             continue

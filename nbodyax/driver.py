@@ -475,24 +475,30 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                                or (h[1] > 0 and prev_dropped > 0))
                                 and "bh_neighbor_k" not in new):
                             # crowded cells past slot_cap AND the per-body
-                            # completion budget: a finer grid (lower
-                            # occupancy) brings those bodies back — any
-                            # persistent drop adapts (those bodies get NO
-                            # physics at all), same policy as widening. At
-                            # the level cap, widen the completion budget
-                            # to the probe's measured population instead
+                            # completion budget: any persistent drop adapts
+                            # (those bodies get NO physics at all), same
+                            # policy as widening. Response ladder: when the
+                            # budget was RIGHT-SIZED by pick_levels (small
+                            # static list for a small population) and drift
+                            # merely outgrew it, re-widen it toward the
+                            # default ~n/16 first (cheap recompile); reach
+                            # for a finer grid only when the population
+                            # itself is default-budget-scale, and at the
+                            # level cap widen past the default instead
                             # (+12.5% slack, 1024-tiered — mirrors
                             # pick_levels' startup choice)
-                            if cfg.bh_levels < max_adapt_lv:
+                            pop = int(h[5])
+                            need_comp = min(state.capacity, 1024 * -(
+                                -(pop + pop // 8) // 1024))
+                            default_comp = min(state.capacity, max(
+                                1024, state.capacity // 16))
+                            if cfg.bh_comp_cap and need_comp <= default_comp:
+                                new["bh_comp_cap"] = need_comp
+                            elif cfg.bh_levels < max_adapt_lv:
                                 new["bh_levels"] = cfg.bh_levels + 1
-                            else:
-                                pop = int(h[5])
-                                need_comp = min(state.capacity, 1024 * -(
-                                    -(pop + pop // 8) // 1024))
-                                if need_comp > (cfg.bh_comp_cap or min(
-                                        state.capacity,
-                                        max(1024, state.capacity // 16))):
-                                    new["bh_comp_cap"] = need_comp
+                            elif need_comp > (cfg.bh_comp_cap
+                                              or default_comp):
+                                new["bh_comp_cap"] = need_comp
                         prev_dropped = h[1]
                         if new:
                             from dataclasses import replace as _dc

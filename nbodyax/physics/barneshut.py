@@ -151,7 +151,10 @@ def pick_levels(pos, mass, *, neighbor_k: int = 0, ring: int = 1,
     ``(levels, near, k, comp_cap)`` with ``near`` resolved to "rows" or
     "slots", ``k`` a COUNT-AWARE exact partner cap (auto mode) or the
     pinned ``neighbor_k``, and ``comp_cap`` a count-aware completion
-    budget (0 when the default ~n/16 budget already drops nothing).
+    budget sized to the measured completion population — widened past
+    the default ~n/16 when that would drop bodies, SHRUNK below it when
+    the population is small enough that the default's worst-case static
+    list would dominate the step (0 when the 1024 mid-tier covers it).
 
     ``auto_levels`` assumes near-uniform density; clustered scenes (galaxy
     cores) can overflow the near-field partner cap at that occupancy. This
@@ -233,12 +236,24 @@ def pick_levels(pos, mass, *, neighbor_k: int = 0, ring: int = 1,
         if lv >= cap or (k <= min(1024, 4 * k_auto) and dropped == 0):
             break
         lv += 1
+    # Size the static completion budget to the measured population
+    # (+12.5% density-drift slack, rounded to the 1024 tier _tiered
+    # budgets use). Two cases:
+    #   dropped > 0 — residual drop at the level cap: WIDEN past the
+    #     default ~n/16 budget so zero bodies lose their near field;
+    #   dropped == 0 but the population exceeds the 1024 mid-tier —
+    #     SHRINK below the default: _tiered would otherwise run the full
+    #     ~n/16 worst-case list for a few thousand real entries (the 4M
+    #     galaxy ran its near+annulus completion over 262144 slots for
+    #     3166 overflow bodies — 2.6 s of a 3.5 s step; bench r3).
+    # Populations within the mid-tier keep comp=0 (the tier already
+    # skips the cost; a nonzero cap would change nothing but the cfg).
+    # bhAdapt re-widens from the same probe if density drift later
+    # pushes the population past this budget.
     comp = 0
-    if dropped:
-        # residual completion drop at the level cap: cover the measured
-        # completion-pass population exactly (+12.5% density-drift slack,
-        # rounded to the 1024 tier _tiered budgets use)
-        comp = min(n, 1024 * -(-(i_over + i_over // 8) // 1024))
+    pad = min(n, 1024 * -(-(i_over + i_over // 8) // 1024))
+    if dropped or _COMP_TIER < pad < _completion_cap(n):
+        comp = pad
     return lv, near, min(1024, k), comp
 
 

@@ -510,6 +510,58 @@ def test_auto_knobs_exact_on_crowded_scene():
                               near=near, comp_cap=comp)) == 0
 
 
+def test_pick_levels_rightsizes_completion_budget():
+    """A completion population past the 1024 mid-tier but far below the
+    default ~n/16 worst-case budget must get a comp_cap sized to the
+    population (+12.5% slack, 1024-tiered): the default static list made
+    the completion passes dominate clustered-scene steps (the 4M galaxy
+    ran 262144 completion slots for 3166 real overflow bodies — 2.6 s of
+    a 3.5 s step, bench/results_r3.json). Physics must be unchanged: the
+    right-sized budget still covers every overflow body exactly."""
+    from nbodyax.physics.barneshut import (_completion_cap, bh_accumulators,
+                                           needed_neighbor_k, pick_levels)
+    from nbodyax.state import make_state
+
+    rng = np.random.RandomState(7)
+    n = 65536
+    # ~250 tight blobs of 40 bodies (one finest cell each at the auto
+    # level's occupancy-16 grid) + a uniform background: per-cell overflow
+    # past the ci-slot budget (32) lands ~2000 bodies in the completion
+    # pass — past the mid-tier, far below the n/16 = 4096 default
+    pos = rng.uniform(-2000, 2000, (n, 2)).astype(np.float32)
+    nblob, per = 250, 40
+    centers = rng.uniform(-1900, 1900, (nblob, 2))
+    for b in range(nblob):
+        pos[b * per:(b + 1) * per] = (
+            centers[b] + rng.normal(0.0, 0.05, (per, 2))).astype(np.float32)
+    st = make_state(pos, np.zeros((n, 2), np.float32),
+                    rng.uniform(1, 10, n).astype(np.float32),
+                    np.full(n, 0.01, np.float32))
+
+    lv, near, k, comp = pick_levels(st.pos, st.mass)
+    _, dropped, i_over = (int(v) for v in needed_neighbor_k(
+        st.pos, st.mass, levels=lv, near=near))
+    assert dropped == 0                      # default budget drops nothing
+    assert i_over > 1024                     # past the mid-tier...
+    assert 0 < comp < _completion_cap(n)     # ...so comp shrinks the budget
+    assert comp >= i_over                    # but still covers everyone
+    assert comp % 1024 == 0                  # on the tier grid
+    assert int(overflow_count(st.pos, st.mass, levels=lv, neighbor_k=k,
+                              near=near, comp_cap=comp)) == 0
+
+    # identical physics with the right-sized budget
+    kw = dict(eps=10.0, growth_rate=0.1, mode="reference", levels=lv,
+              neighbor_k=k, near=near)
+    a0 = bh_accumulators(st.pos, st.vel, st.mass, st.radius,
+                         comp_cap=0, **kw)
+    a1 = bh_accumulators(st.pos, st.vel, st.mass, st.radius,
+                         comp_cap=comp, **kw)
+    np.testing.assert_array_equal(np.asarray(a0.force), np.asarray(a1.force))
+    np.testing.assert_array_equal(np.asarray(a0.gained_mass),
+                                  np.asarray(a1.gained_mass))
+    np.testing.assert_array_equal(np.asarray(a0.died), np.asarray(a1.died))
+
+
 def test_needed_neighbor_k_is_minimal():
     """needed_neighbor_k reports the exact threshold: zero overflow at the
     reported cap, nonzero one below it (both engines)."""

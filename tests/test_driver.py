@@ -293,6 +293,44 @@ def test_bh_adapt_repeated_widening_under_sustained_collapse(tmp_path,
     assert all(o == 0 for o in ov[last_bad + 1:]), ov
 
 
+def test_bh_adapt_rewidens_rightsized_completion_budget(tmp_path, capsys):
+    """bhAdapt response ladder for completion-budget drops: when bhCompCap
+    was right-sized (pick_levels shrinks it below the ~n/16 default so small
+    overflow populations don't pay the worst-case static list) and density
+    drift pushes the population past it, adapt must RE-WIDEN the budget —
+    a cheap recompile — instead of escalating straight to a finer grid."""
+    rng = np.random.RandomState(23)
+    n = 512
+    pos = rng.uniform(-950, 950, (n, 2)).astype(np.float32)
+    # deterministic extent + one 100-body blob inside a single finest cell
+    # (levels=4 over +-950: cell ~119 wide, cell centers at 59.4 + k*118.75)
+    pos[0], pos[1] = (-950.0, -950.0), (950.0, 950.0)
+    pos[2:102] = (np.float32([59.0, 59.0])
+                  + rng.normal(0.0, 1.0, (100, 2))).astype(np.float32)
+    from nbodyax.state import make_state
+    st = make_state(pos, np.zeros((n, 2), np.float32),
+                    np.full(n, 1.0, np.float32),
+                    np.full(n, 0.01, np.float32))
+    # K=112 covers the blob per-cell, so ONLY the completion budget binds:
+    # population past slot_cap(512, 4096)=32 is ~68, bhCompCap=8 drops ~60
+    # (under the 64-body noise floor -> adapts on persistence)
+    cfg = base_cfg(tmp_path, particle_count=n, total_iterations=8,
+                   force_model="bh", collision_mode="none", softening=100.0,
+                   bh_levels=4, bh_neighbor_k=112, bh_near="slots",
+                   bh_comp_cap=8, log_every=2, field_width=2000,
+                   field_height=2000, timestep=1e-3)
+    run_simulation(cfg, quiet=False, state=st)
+    out = capsys.readouterr().out
+    adapts = [l for l in out.splitlines() if l.startswith("bh adapt")]
+    assert len(adapts) == 1, out
+    assert "bh_comp_cap" in adapts[0], out   # budget re-widened...
+    assert "bh_levels" not in adapts[0], out  # ...not grid refinement
+    lines = [json.loads(l) for l in open(cfg.log_path).read().splitlines()]
+    ov = [l["bh_overflow"] for l in lines]
+    assert ov[0] > 0 and ov[1] > 0, ov       # small persistent drop seen
+    assert ov[-1] == 0, ov                   # one widening restored exact
+
+
 def test_bh_adapt_coarsens_levels_when_radii_outgrow_window(tmp_path, capsys):
     """bhAdapt: radii larger than the ring's collision coverage at the
     current finest level must coarsen bhLevels between windows."""
