@@ -94,6 +94,14 @@ class SimConfig:
     collision_mode: str = "reference"     # reference | momentum | elastic | none
     boundary_mode: str = "reference"      # reference (Q6 accel*dt flip) | clamp | none
     integrator: str = "euler"             # euler (semi-implicit, reference) | leapfrog
+    adaptive_dt: bool = False             # global stability-bounded dt per
+                                          # step (lockstep; beyond-reference —
+                                          # the reference is fixed-dt). dt =
+                                          # clip(min_i min(eta*sqrt(r/|a|),
+                                          # eta*r/|v|), dtMin, dtMax)
+    dt_eta: float = 0.25                  # adaptive safety factor
+    dt_min: float = 0.0                   # adaptive floor (0 = dtMax/1024)
+    dt_max: float = 0.0                   # adaptive ceiling (0 = timestep)
     backend: str = "auto"                 # auto | jnp | pallas
     force_model: str = "exact"            # exact (all-pairs, reference) | bh
                                           # (hierarchical far field + exact
@@ -177,6 +185,16 @@ class SimConfig:
             raise ConfigError(f"unknown boundaryMode {self.boundary_mode!r}")
         if self.integrator not in ("euler", "leapfrog"):
             raise ConfigError(f"unknown integrator {self.integrator!r}")
+        if self.adaptive_dt:
+            if self.dt_eta <= 0:
+                raise ConfigError("dtEta must be > 0")
+            if self.dt_min < 0 or self.dt_max < 0:
+                raise ConfigError("dtMin/dtMax must be >= 0 (0 = auto)")
+            hi = self.dt_max or self.timestep
+            if self.dt_min and self.dt_min > hi:
+                raise ConfigError(
+                    f"dtMin ({self.dt_min}) exceeds the effective dtMax "
+                    f"({hi})")
         if self.energy_every:
             # the energy block only fires on log boundaries; enforce the
             # documented contract instead of silently logging nothing
@@ -238,6 +256,10 @@ _KEYS = {
     "collisionMode": ("collision_mode", lambda s, k: s.strip()),
     "boundaryMode": ("boundary_mode", lambda s, k: s.strip()),
     "integrator": ("integrator", lambda s, k: s.strip()),
+    "adaptiveDt": ("adaptive_dt", _bool),
+    "dtEta": ("dt_eta", _stof),
+    "dtMin": ("dt_min", _stof),
+    "dtMax": ("dt_max", _stof),
     "backend": ("backend", lambda s, k: s.strip()),
     "forceModel": ("force_model", lambda s, k: s.strip()),
     "bhLevels": ("bh_levels", _stoi),

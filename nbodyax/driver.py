@@ -382,6 +382,8 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
     # bhAdapt persistence trackers: overflow below the noise floor adapts
     # on the SECOND consecutive nonzero health check (see the adapt block)
     prev_overflow = prev_dropped = 0.0
+    prev_sim_time = float(np.asarray(state.sim_time))
+    prev_log_iter = start_step
     try:
         iteration = start_step
         while iteration < cfg.total_iterations:
@@ -412,6 +414,14 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
             iteration += k
             if log_due:
                 scal = scalars_from_vec(v, cfg.dimensions)
+                if cfg.adaptive_dt:
+                    # mean dt over the steps since the last log line —
+                    # the per-step dts are internal to the fused dispatch;
+                    # their telescoped sum (sim_time) is what's observable
+                    scal["dt_mean"] = ((scal["sim_time"] - prev_sim_time)
+                                       / max(iteration - prev_log_iter, 1))
+                prev_sim_time = scal["sim_time"]
+                prev_log_iter = iteration
                 if cfg.force_model == "bh":
                     from nbodyax.physics.barneshut import bh_health
                     # [partner-cap overflow, completion-budget overflow,

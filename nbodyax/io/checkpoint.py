@@ -37,7 +37,8 @@ def save_checkpoint(directory: str, state: SimState) -> str:
              vel=np.asarray(state.vel),
              mass=np.asarray(state.mass),
              radius=np.asarray(state.radius),
-             step=np.int32(step))
+             step=np.int32(step),
+             sim_time=np.float32(np.asarray(state.sim_time)))
     os.replace(tmp, path)
     return path
 
@@ -47,8 +48,12 @@ def load_checkpoint(path: str) -> SimState:
         version = int(z["version"])
         if version > _FORMAT_VERSION:
             raise ValueError(f"checkpoint {path} has newer format {version}")
+        # sim_time absent in pre-adaptiveDt snapshots: resume at 0 (the
+        # field is observability, not physics; fixed-dt time can be
+        # reconstructed as step*dt if needed)
+        t = float(z["sim_time"]) if "sim_time" in z.files else 0.0
         return make_state(z["pos"], z["vel"], z["mass"], z["radius"],
-                          step=int(z["step"]))
+                          step=int(z["step"]), sim_time=t)
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:

@@ -34,7 +34,9 @@ def _conservation_vec(state: SimState):
     mom = jnp.sum(m[:, None] * state.vel, axis=0)
     ke = 0.5 * jnp.sum(m * jnp.sum(state.vel * state.vel, axis=1))
     return jnp.concatenate([jnp.stack([jnp.sum(alive).astype(jnp.float32),
-                                       jnp.sum(m), ke]), mom])
+                                       jnp.sum(m), ke]), mom,
+                            jnp.reshape(jnp.asarray(state.sim_time,
+                                                    jnp.float32), (1,))])
 
 
 def scalars_from_vec(v, dim: int):
@@ -49,6 +51,7 @@ def scalars_from_vec(v, dim: int):
     }
     if dim == 3:
         out["momentum_z"] = v[5]
+    out["sim_time"] = v[-1]
     return out
 
 

@@ -35,7 +35,7 @@ from nbodyax.physics.collisions import resolve_collisions
 from nbodyax.physics.pairwise import PairAccumulators, pair_accumulators
 from nbodyax.state import SimState
 
-__all__ = ["PhysicsParams", "make_step", "GRAV_CONSTANT"]
+__all__ = ["PhysicsParams", "make_step", "step_dt", "GRAV_CONSTANT"]
 
 # np (not jnp) scalar: importing this module must not initialize a JAX backend
 GRAV_CONSTANT = np.float32(6.67408e-11)  # nbody.cu:37
@@ -54,6 +54,18 @@ class PhysicsParams:
     collision_mode: str = "reference"
     boundary_mode: str = "reference"
     integrator: str = "euler"
+    # adaptive global timestep (beyond-reference, off by default: the
+    # reference is fixed-dt, nbody.cu:264,288). When on, each step uses
+    # dt = clip(min_i min(eta*sqrt(r_i/|a_i|), eta*r_i/|v_i|), lo, hi)
+    # over alive bodies — one LOCKSTEP dt per step (per-body dt tiers
+    # would break the all-pairs collision pass; see NEXT.md). The velocity
+    # term bounds per-step motion to a fraction of each body's own radius,
+    # which is what keeps fast bodies from tunneling through collision
+    # partners between overlap tests.
+    adaptive_dt: bool = False
+    dt_eta: float = 0.25                  # safety factor (both criteria)
+    dt_min: float = 0.0                   # 0 -> dt_max / 1024
+    dt_max: float = 0.0                   # 0 -> the configured fixed dt
 
     @classmethod
     def from_config(cls, cfg) -> "PhysicsParams":
@@ -66,20 +78,56 @@ class PhysicsParams:
                    eps=float(cfg.softening),
                    collision_mode=cfg.collision_mode,
                    boundary_mode=cfg.boundary_mode,
-                   integrator=cfg.integrator)
+                   integrator=cfg.integrator,
+                   adaptive_dt=bool(getattr(cfg, "adaptive_dt", False)),
+                   dt_eta=float(getattr(cfg, "dt_eta", 0.25)),
+                   dt_min=float(getattr(cfg, "dt_min", 0.0)),
+                   dt_max=float(getattr(cfg, "dt_max", 0.0)))
+
+    @property
+    def dt_bounds(self):
+        """Resolved (dt_min, dt_max) for the adaptive clip."""
+        hi = self.dt_max or self.dt
+        return (self.dt_min or hi / 1024.0, hi)
 
 
 AccumFn = Callable[..., PairAccumulators]
 
 
+def step_dt(vel, mass, radius, force, p: PhysicsParams, axis_name=None):
+    """The dt this step integrates with: the static configured dt, or (under
+    ``adaptiveDt``) one global stability-bounded value computed from the
+    just-evaluated forces — dt = clip(min over alive bodies of
+    min(eta*sqrt(r/|a|), eta*r/|v|), dt_min, dt_max). Inputs are the
+    post-collision arrays (what the kick/drift actually integrates).
+    ``axis_name``: inside a ``shard_map`` body, the mesh axis to ``pmin``
+    over so every shard steps with the identical lockstep dt."""
+    if not p.adaptive_dt:
+        return jnp.float32(p.dt)
+    accel = force * GRAV_CONSTANT
+    amag = jnp.sqrt(jnp.sum(accel * accel, axis=-1))
+    vmag = jnp.sqrt(jnp.sum(vel * vel, axis=-1))
+    tiny = jnp.float32(1e-30)
+    dt_a = p.dt_eta * jnp.sqrt(radius / jnp.maximum(amag, tiny))
+    dt_v = p.dt_eta * radius / jnp.maximum(vmag, tiny)
+    dt_i = jnp.where(mass > 0, jnp.minimum(dt_a, dt_v), jnp.inf)
+    dt = jnp.min(dt_i)          # all-dead -> inf -> clips to dt_max
+    if axis_name is not None:
+        dt = jax.lax.pmin(dt, axis_name)
+    lo, hi = p.dt_bounds
+    return jnp.clip(dt, jnp.float32(lo), jnp.float32(hi))
+
+
 def finish_euler(pos2, vel2, mass2, radius2, pre_radius, force,
-                 p: PhysicsParams):
+                 p: PhysicsParams, dt=None):
     """Post-collision tail of a step: boundary -> kick -> drift -> dead-slot
     freeze, in the reference's exact order (SURVEY.md section 3.2). Takes the
     post-collision arrays plus the pre-merge radius and the un-scaled force
-    sum; returns (pos, vel, mass, radius). Shared by the single-dispatch step,
-    the split-dispatch step for huge N, and the sharded ring step."""
-    dt = jnp.float32(p.dt)
+    sum; returns (pos, vel, mass, radius). ``dt`` overrides the static
+    configured value (adaptiveDt — see ``step_dt``). Shared by the
+    single-dispatch step, the split-dispatch step for huge N, and the
+    sharded ring step."""
+    dt = jnp.float32(p.dt) if dt is None else dt
     accel = force * GRAV_CONSTANT
     if p.boundary_mode == "reference":
         vel2 = _boundary_flip(pos2, vel2, pre_radius, accel * dt, p)
@@ -104,28 +152,34 @@ def apply_euler_update(state: SimState, acc: PairAccumulators,
     pos2, vel2, mass2, radius2 = resolve_collisions(
         state.pos, state.vel, state.mass, state.radius, acc,
         mode=p.collision_mode)
-    out = finish_euler(pos2, vel2, mass2, radius2, state.radius, acc.force, p)
-    return SimState(*out, state.step + 1)
+    dt = step_dt(vel2, mass2, radius2, acc.force, p)
+    out = finish_euler(pos2, vel2, mass2, radius2, state.radius, acc.force,
+                       p, dt=dt)
+    return SimState(*out, state.step + 1, state.sim_time + dt)
 
 
-def half_kick_drift(pos2, vel2, force, p: PhysicsParams):
+def half_kick_drift(pos2, vel2, force, p: PhysicsParams, dt=None):
     """Leapfrog first half (post-collision): half kick + full drift.
-    Returns (v_half, new_pos). Shared by the single-dispatch, split-dispatch,
-    ring-sharded, and bh-sharded leapfrog steps."""
-    dt = jnp.float32(p.dt)
+    Returns (v_half, new_pos). ``dt`` overrides the static configured value
+    (adaptiveDt: chosen once at the first kick, used for the WHOLE KDK step
+    — the standard adaptive-leapfrog structure). Shared by the
+    single-dispatch, split-dispatch, ring-sharded, and bh-sharded leapfrog
+    steps."""
+    dt = jnp.float32(p.dt) if dt is None else dt
     accel = force * GRAV_CONSTANT
     v_half = vel2 + accel * (dt / 2)
     return v_half, pos2 + v_half * dt
 
 
 def finish_leapfrog(pos2, new_pos, v_half, mass2, radius2, force2,
-                    p: PhysicsParams):
+                    p: PhysicsParams, dt=None):
     """Leapfrog second half: final half kick from the second force pass,
     then boundary + dead-slot freeze. Boundary semantics mirror the euler
     modes as closely as the KDK structure allows: ``reference`` flips
     velocity on an accel*dt probe and never clamps (quirk Q6 preserved);
-    ``clamp`` predicts with the real displacement and clamps positions."""
-    dt = jnp.float32(p.dt)
+    ``clamp`` predicts with the real displacement and clamps positions.
+    ``dt`` must be the same value the first half used."""
+    dt = jnp.float32(p.dt) if dt is None else dt
     accel2 = force2 * GRAV_CONSTANT
     new_vel = v_half + accel2 * (dt / 2)
     if p.boundary_mode == "reference":
@@ -187,11 +241,12 @@ def make_step(p: PhysicsParams,
         pos2, vel2, mass2, radius2 = resolve_collisions(
             state.pos, state.vel, state.mass, state.radius, acc,
             mode=p.collision_mode)
-        v_half, new_pos = half_kick_drift(pos2, vel2, acc.force, p)
+        dt = step_dt(vel2, mass2, radius2, acc.force, p)
+        v_half, new_pos = half_kick_drift(pos2, vel2, acc.force, p, dt=dt)
         acc2 = accum_fn(new_pos, v_half, mass2, radius2)
         out = finish_leapfrog(pos2, new_pos, v_half, mass2, radius2,
-                              acc2.force, p)
-        return SimState(*out, state.step + 1)
+                              acc2.force, p, dt=dt)
+        return SimState(*out, state.step + 1, state.sim_time + dt)
 
     step = euler_step if p.integrator == "euler" else leapfrog_step
     return jax.jit(step)
@@ -261,24 +316,26 @@ def make_split_step(p: PhysicsParams, n_splits: int,
         pos2, vel2, mass2, radius2 = resolve_collisions(
             state.pos, state.vel, state.mass, state.radius, acc,
             mode=p.collision_mode)
-        v_half, new_pos = half_kick_drift(pos2, vel2, acc.force, p)
-        return pos2, new_pos, v_half, mass2, radius2
+        dt = step_dt(vel2, mass2, radius2, acc.force, p)
+        v_half, new_pos = half_kick_drift(pos2, vel2, acc.force, p, dt=dt)
+        return pos2, new_pos, v_half, mass2, radius2, dt
 
     @jax.jit
-    def commit_leapfrog(step_count, pos2, new_pos, v_half, mass2, radius2,
-                        raw2, par2) -> SimState:
+    def commit_leapfrog(step_count, sim_time, pos2, new_pos, v_half, mass2,
+                        radius2, dt, raw2, par2) -> SimState:
         acc2 = decode_raw(raw2, par2, 0, mass2, p.collision_mode,
                           dim=dim)
         out = finish_leapfrog(pos2, new_pos, v_half, mass2, radius2,
-                              acc2.force, p)
-        return SimState(*out, step_count + 1)
+                              acc2.force, p, dt=dt)
+        return SimState(*out, step_count + 1, sim_time + dt)
 
     def step(state: SimState) -> SimState:
         raw, par = split_accum(state.pos, state.vel, state.mass, state.radius)
         if p.integrator == "euler":
             return commit_euler(state, raw, par)
-        mid = begin_leapfrog(state, raw, par)
+        *mid, dt = begin_leapfrog(state, raw, par)
         raw2, par2 = split_accum(mid[1], mid[2], mid[3], mid[4])
-        return commit_leapfrog(state.step, *mid, raw2, par2)
+        return commit_leapfrog(state.step, state.sim_time, *mid, dt,
+                               raw2, par2)
 
     return step

@@ -110,24 +110,28 @@ def make_sharded_bh_step(cfg: SimConfig,
         acc = bh_acc(pos, vel, mass, radius)
         pos2, vel2, mass2, radius2 = resolve_collisions_sharded(
             pos, vel, mass, radius, acc, p.collision_mode)
+        from nbodyax.physics.step import step_dt
+        # adaptiveDt: pmin makes the lockstep dt identical on every shard
+        dt = step_dt(vel2, mass2, radius2, acc.force, p, axis_name=AXIS)
 
         if p.integrator == "euler":
             return finish_euler(pos2, vel2, mass2, radius2, radius,
-                                acc.force, p)
-        v_half, new_pos = half_kick_drift(pos2, vel2, acc.force, p)
+                                acc.force, p, dt=dt) + (dt,)
+        v_half, new_pos = half_kick_drift(pos2, vel2, acc.force, p, dt=dt)
         acc2 = bh_acc(new_pos, v_half, mass2, radius2)  # KDK second pass
         return finish_leapfrog(pos2, new_pos, v_half, mass2, radius2,
-                               acc2.force, p)
+                               acc2.force, p, dt=dt) + (dt,)
 
     sharded = jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(P(AXIS),) * 4, out_specs=(P(AXIS),) * 4,
+        in_specs=(P(AXIS),) * 4, out_specs=(P(AXIS),) * 4 + (P(),),
         check_vma=False)
 
     @jax.jit
     def step(state: SimState) -> SimState:
-        pos, vel, mass, radius = sharded(state.pos, state.vel, state.mass,
-                                         state.radius)
-        return SimState(pos, vel, mass, radius, state.step + 1)
+        pos, vel, mass, radius, dt = sharded(state.pos, state.vel,
+                                             state.mass, state.radius)
+        return SimState(pos, vel, mass, radius, state.step + 1,
+                        state.sim_time + dt)
 
     return step

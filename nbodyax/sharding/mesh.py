@@ -75,7 +75,7 @@ def pad_to_shards(state: SimState, n_shards: int) -> SimState:
 
     return SimState(pos=pad1(state.pos), vel=pad1(state.vel),
                     mass=pad1(state.mass), radius=pad1(state.radius),
-                    step=state.step)
+                    step=state.step, sim_time=state.sim_time)
 
 
 def shard_state(state: SimState, mesh: Mesh) -> SimState:
@@ -87,4 +87,6 @@ def shard_state(state: SimState, mesh: Mesh) -> SimState:
                     vel=jax.device_put(state.vel, sh),
                     mass=jax.device_put(state.mass, sh),
                     radius=jax.device_put(state.radius, sh),
-                    step=jax.device_put(state.step, rep))
+                    step=jax.device_put(state.step, rep),
+                    sim_time=jax.device_put(
+                        jnp.asarray(state.sim_time, jnp.float32), rep))

@@ -154,7 +154,7 @@ def make_sharded_step(cfg: SimConfig, p: PhysicsParams,
 
     def local_step(pos, vel, mass, radius):
         from nbodyax.physics.step import (finish_euler, finish_leapfrog,
-                                          half_kick_drift)
+                                          half_kick_drift, step_dt)
 
         ring = partial(ring_accumulators, n_shards=n_shards,
                        accum_fn=accum_fn,
@@ -162,25 +162,29 @@ def make_sharded_step(cfg: SimConfig, p: PhysicsParams,
         acc = ring(pos, vel, mass, radius)
         pos2, vel2, mass2, radius2 = resolve_collisions_sharded(
             pos, vel, mass, radius, acc, p.collision_mode)
+        # adaptiveDt: local per-shard bound, pmin'd so every shard steps
+        # with the identical lockstep dt (a replicated scalar)
+        dt = step_dt(vel2, mass2, radius2, acc.force, p, axis_name=AXIS)
 
         if p.integrator == "euler":
             return finish_euler(pos2, vel2, mass2, radius2, radius,
-                                acc.force, p)
-        v_half, new_pos = half_kick_drift(pos2, vel2, acc.force, p)
+                                acc.force, p, dt=dt) + (dt,)
+        v_half, new_pos = half_kick_drift(pos2, vel2, acc.force, p, dt=dt)
         acc2 = ring(new_pos, v_half, mass2, radius2)  # KDK second force pass
         return finish_leapfrog(pos2, new_pos, v_half, mass2, radius2,
-                               acc2.force, p)
+                               acc2.force, p, dt=dt) + (dt,)
 
     sharded = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
         check_vma=False)
 
     @jax.jit
     def step(state: SimState) -> SimState:
-        pos, vel, mass, radius = sharded(state.pos, state.vel, state.mass,
-                                         state.radius)
-        return SimState(pos, vel, mass, radius, state.step + 1)
+        pos, vel, mass, radius, dt = sharded(state.pos, state.vel,
+                                             state.mass, state.radius)
+        return SimState(pos, vel, mass, radius, state.step + 1,
+                        state.sim_time + dt)
 
     return step

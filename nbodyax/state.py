@@ -30,6 +30,10 @@ class SimState(NamedTuple):
     mass:   f32[N]     masses; 0 means the slot is dead (nbody.cu:245,489-494)
     radius: f32[N]     radii
     step:   i32[]      completed step count (for checkpoint/resume)
+    sim_time: f32[]    elapsed simulated time (sum of the dt of every
+                       completed step — equals step*dt on fixed-dt runs,
+                       meaningful observability under adaptiveDt; f32, so
+                       ~7 significant digits over a run's horizon)
     """
 
     pos: jax.Array
@@ -37,19 +41,22 @@ class SimState(NamedTuple):
     mass: jax.Array
     radius: jax.Array
     step: jax.Array
+    sim_time: jax.Array = np.float32(0.0)
 
     @property
     def capacity(self) -> int:
         return self.pos.shape[0]
 
 
-def make_state(pos, vel, mass, radius, step: int = 0) -> SimState:
+def make_state(pos, vel, mass, radius, step: int = 0,
+               sim_time: float = 0.0) -> SimState:
     return SimState(
         pos=jnp.asarray(pos, jnp.float32),
         vel=jnp.asarray(vel, jnp.float32),
         mass=jnp.asarray(mass, jnp.float32),
         radius=jnp.asarray(radius, jnp.float32),
         step=jnp.asarray(step, jnp.int32),
+        sim_time=jnp.asarray(sim_time, jnp.float32),
     )
 
 
@@ -96,4 +103,5 @@ def compact_state(state: SimState, *, min_capacity: int = 256,
 
     return make_state(gather(state.pos), gather(state.vel),
                       gather(state.mass), gather(state.radius),
-                      step=int(np.asarray(state.step)))
+                      step=int(np.asarray(state.step)),
+                      sim_time=float(np.asarray(state.sim_time)))

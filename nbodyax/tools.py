@@ -79,6 +79,7 @@ def dump_checkpoint(path: str, limit: int = 0, alive_only: bool = False,
     radius = np.asarray(state.radius)
     alive = mass > 0
     print(f"Checkpoint {path}: step {int(np.asarray(state.step))}, "
+          f"sim_time {float(np.asarray(state.sim_time)):.6g}, "
           f"{int(alive.sum())} alive / {mass.shape[0]} slots", file=out)
     printed = 0
     for i in range(mass.shape[0]):
