@@ -64,6 +64,7 @@ slots and contribute nothing to the aggregates.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -1505,6 +1506,83 @@ def _m2l_level(packed, s, ext, eps2, ring, dim, order, degree):
     return acc
 
 
+# "conv" (parent-folded MXU conv) | "scan" (offset sweep); env-overridable
+# for A/B benchmarking without code edits (bench.bh_profile runs).
+_M2L_ENGINE = os.environ.get("NBODYAX_M2L", "conv")
+
+
+def _m2l_level_conv(packed, s, ext, eps2, ring, dim, order, degree):
+    """`_m2l_level` re-expressed as ONE convolution over the PARENT grid.
+
+    The scan form re-slices the whole padded grid once per offset (40/96
+    offsets in 2-D at ring 1/2, 316/1206 in 3-D) — pure HBM traffic, the
+    measured bottleneck of the far pass at large N. But the stencil is
+    exactly translation-invariant over *parent* cells: fold each child's
+    parity into a channel, and the parity-restriction rule at the extreme
+    offsets (delta = +w only for parity-0 targets, -w only for parity-1)
+    is precisely what confines every allowed (delta, target-parity) pair
+    to a parent offset q = (delta + p) >> 1 in [-ring, ring]. Each
+    (delta, p) maps to a UNIQUE (q, source-parity r = (delta + p) & 1), so
+    the kernel assembles with one scatter and the whole level becomes a
+    [2r+1]^dim conv with 2^dim*n_src in / 2^dim*n_loc out channels — read
+    the grid once, contract on the MXU.
+    """
+    nch = packed.shape[1]
+    ncells = s ** dim
+    sp = s // 2
+    w = 2 * ring + 1
+    ks = 2 * ring + 1                       # parent kernel side
+    _, csz = _cell_sizes(ext, s)
+    offs = _fmm_offsets(ring, dim)
+    deltas = np.asarray(offs, np.int32)     # [noff, dim], coord d (x = 0)
+    W = _m2l_weights(jnp.asarray(deltas), csz, eps2, dim, order, degree)
+    n_loc = W.shape[-1]
+
+    # kernel index lists (static numpy): one entry per allowed (delta, p)
+    import itertools
+    kf, rf, pf, oi = [], [], [], []
+    for i, d in enumerate(deltas):
+        for p in itertools.product((0, 1), repeat=dim):
+            if any((d[k] == -w and p[k] == 0) or (d[k] == w and p[k] == 1)
+                   for k in range(dim)):
+                continue                    # the scan form's parity mask
+            q = [(int(d[k]) + p[k]) >> 1 for k in range(dim)]
+            r = [(int(d[k]) + p[k]) & 1 for k in range(dim)]
+            assert all(-ring <= qk <= ring for qk in q)
+            kf.append(sum((q[k] + ring) * ks ** k for k in range(dim)))
+            rf.append(sum(r[k] << k for k in range(dim)))
+            pf.append(sum(p[k] << k for k in range(dim)))
+            oi.append(i)
+    kflat = jnp.zeros((ks ** dim, 1 << dim, 1 << dim, nch, n_loc),
+                      jnp.float32)
+    kflat = kflat.at[np.asarray(kf), np.asarray(rf), np.asarray(pf)].set(
+        W[np.asarray(oi)])
+    # [spatial..., rflat*nch (in), pflat*n_loc (out)]; the flat spatial
+    # index has coord d weighted ks^d (x fastest), so the row-major reshape
+    # puts coord dim-1 on axis 0 — already matching the grid's axis order
+    ker = kflat.reshape((ks,) * dim + kflat.shape[1:]).transpose(
+        tuple(range(dim)) + (dim, dim + 2, dim + 1, dim + 3)).reshape(
+        (ks,) * dim + ((1 << dim) * nch, (1 << dim) * n_loc))
+
+    # fold children into parent channels: rflat = sum_d parity_d << d
+    spat = packed.reshape((s,) * dim + (nch,))   # axes c_{D-1}, ..., c_0, ch
+    spat = spat.reshape(sum(([sp, 2] for _ in range(dim)), []) + [nch])
+    perm = tuple(2 * ax for ax in range(dim)) + tuple(
+        2 * ax + 1 for ax in range(dim)) + (2 * dim,)
+    folded = spat.transpose(perm).reshape((sp,) * dim + ((1 << dim) * nch,))
+
+    dn = {2: ("NHWC", "HWIO", "NHWC"), 3: ("NDHWC", "DHWIO", "NDHWC")}[dim]
+    out = lax.conv_general_dilated(
+        folded[None], ker, window_strides=(1,) * dim,
+        padding=[(ring, ring)] * dim, dimension_numbers=dn,
+        precision=lax.Precision.HIGHEST)[0]
+
+    # unfold parent channels back to the child-major flat layout
+    out = out.reshape((sp,) * dim + (2,) * dim + (n_loc,))
+    perm = sum(((ax, dim + ax) for ax in range(dim)), ()) + (2 * dim,)
+    return out.transpose(perm).reshape(ncells, n_loc)
+
+
 def _shifted_block(up, take_y, dim, degree, lidx, rank):
     """Taylor-shift one symmetric block: for every rank-``rank`` index
     tuple I, sum_m 1/m! B_{rank+m}[I + K] prod y_K over higher blocks.
@@ -1628,7 +1706,8 @@ def _fmm_local_table(pos, mass, ext, levels, ring, eps2, order, degree=3,
         if local is not None:
             local = _l2l(local, s // 2, dim, ext, degree)
         packed = jnp.stack(grids[l], axis=1)
-        contrib = _m2l_level(packed, s, ext, eps2, ring, dim, order, degree)
+        m2l = _m2l_level_conv if _M2L_ENGINE == "conv" else _m2l_level
+        contrib = m2l(packed, s, ext, eps2, ring, dim, order, degree)
         local = contrib if local is None else local + contrib
     return local
 

@@ -597,3 +597,31 @@ def test_pick_levels_size_preference(monkeypatch):
     lv, near, _, _ = barneshut.pick_levels(uni.pos, uni.mass)
     assert near == "slots"
     assert lv == auto_levels(n)  # preference flip alone must not refine
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+@pytest.mark.parametrize("ring", [1, 2])
+@pytest.mark.parametrize("order", [1, 2])
+def test_m2l_conv_matches_scan(dim, ring, order):
+    """The parent-folded conv M2L (_m2l_level_conv — one MXU conv per level
+    instead of one padded-grid slice per offset) must reproduce the offset-
+    scan M2L to f32 rounding. The parity-restriction rule at the extreme
+    offsets is exactly what confines the folded kernel to parent offsets
+    in [-ring, ring]; this test pins that mapping (every offset, both
+    grid layouts, both moment orders, both dims)."""
+    import jax.numpy as jnp
+    from nbodyax.physics.barneshut import (_m2l_level, _m2l_level_conv,
+                                           _moment_pairs)
+
+    rng = np.random.RandomState(7)
+    n_src = 1 + dim + len(_moment_pairs(dim))
+    s = 16 if dim == 2 else 8
+    packed = jnp.asarray(
+        rng.normal(size=(s ** dim, n_src)).astype(np.float32) * 1e3)
+    ext = (tuple(-1e5 for _ in range(dim)), tuple(2e5 for _ in range(dim)))
+    a = np.asarray(_m2l_level(packed, s, ext, 100.0 ** 2, ring, dim,
+                              order, 3))
+    b = np.asarray(_m2l_level_conv(packed, s, ext, 100.0 ** 2, ring, dim,
+                                   order, 3))
+    scale = np.abs(a).max()
+    assert np.abs(a - b).max() < 2e-6 * scale
