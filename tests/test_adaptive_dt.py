@@ -224,3 +224,37 @@ def test_ring_sharded_adaptive_matches_single_device():
     assert float(sh.sim_time) == pytest.approx(float(a.sim_time), rel=1e-5)
     np.testing.assert_allclose(np.asarray(sh.pos)[:256], np.asarray(a.pos),
                                rtol=2e-5, atol=1e-2)
+
+
+def test_bh_sharded_adaptive_matches_single_device():
+    """The bh-sharded step's pmin (sharding/bh.py step_dt call) must give
+    every shard the identical lockstep dt: 4-shard cell-range trajectories
+    track the single-device bh adaptive run, and sim_time telescopes the
+    same varying dt on both sides."""
+    from functools import partial
+
+    from nbodyax.physics.barneshut import bh_accumulators
+    from nbodyax.sharding.bh import make_sharded_bh_step
+    from nbodyax.sharding.mesh import make_mesh, pad_to_shards, shard_state
+    cfg = SimConfig(particle_count=256, adaptive_dt=True,
+                    collision_mode="momentum", shards=4, force_model="bh",
+                    bh_levels=3, bh_neighbor_k=128, softening=20.0,
+                    field_width=2000, field_height=2000).validate()
+    p = PhysicsParams.from_config(cfg)
+    st = init_scene(cfg, parity=False)
+    single = make_step(p, accum_fn=partial(
+        bh_accumulators, eps=p.eps, growth_rate=p.growth_rate,
+        mode=p.collision_mode, levels=cfg.bh_levels,
+        neighbor_k=cfg.bh_neighbor_k))
+    a = st
+    for _ in range(4):
+        a = single(a)
+    assert float(a.sim_time) != pytest.approx(4 * p.dt)  # dt actually adapted
+    mesh = make_mesh(4)
+    sh = shard_state(pad_to_shards(st, 4), mesh)
+    bstep = make_sharded_bh_step(cfg, p, mesh)
+    for _ in range(4):
+        sh = bstep(sh)
+    assert float(sh.sim_time) == pytest.approx(float(a.sim_time), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(sh.pos)[:256], np.asarray(a.pos),
+                               rtol=2e-5, atol=1e-2)
