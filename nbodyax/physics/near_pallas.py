@@ -335,7 +335,7 @@ def slots_near_raw(jrows, *, mode: str, eps2, growth,
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),     # eps2
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),     # growth
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),     # cell_base
-            pl.BlockSpec(memory_space=pltpu.ANY),      # jrows: manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),         # jrows: manual DMA
         ],
         out_specs=pl.BlockSpec((C, ci, NUM_CH), lambda c: (c, 0, 0),
                                memory_space=pltpu.VMEM),
