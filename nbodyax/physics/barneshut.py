@@ -1085,7 +1085,12 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
         nslots = ncells_eval * ci_cap
         nlane = {"reference": dim + 3, "momentum": dim + 3,
                  "elastic": 2 * dim}.get(mode, dim)
-        packed_core = raw.reshape(nslots, NUM_CH)[:, :nlane]
+        # raw is [ncells, NUM_CH*ci] LANE-MERGED channel-major (the 8-wide
+        # trailing channel axis would be lane-padded 16x by XLA — see
+        # near_pallas.py): un-merge to slot-major rows for the unsort
+        packed_core = (raw.reshape(ncells_eval, NUM_CH, ci_cap)
+                       .transpose(0, 2, 1)
+                       .reshape(nslots, NUM_CH)[:, :nlane])
     else:
         if nchunks == 1:
             acc = jax.tree.map(lambda x: x[None], one_chunk(jnp.int32(0)))

@@ -24,9 +24,19 @@ Dataflow per grid program (one block of C consecutive finest cells):
 - pair math i x j on [C, ci_cap, win*S] broadcast grids (identical per-pair
   semantics to barneshut._gathered_pair_accum, the tested oracle), reduced
   over the window lanes and accumulated across rows in registers;
-- one [C, ci_cap, NUM_CH] channel block written per program; the caller
-  feeds it straight to the slot unsort (the channel layout IS the unsort's
-  packed-lane layout).
+- one [C, NUM_CH * ci_cap] channel block written per program, channels
+  LANE-MERGED channel-major (all ci slots of channel 0, then channel 1,
+  ...): a trailing channel axis of 8 would be lane-padded to 128 by XLA —
+  a measured 16x HBM expansion that OOMs N=16M grids (16 GB for a 1 GB
+  output) and pays 16x the write bandwidth; the merged layout is exactly
+  2 lane tiles at ci=32. The caller un-merges with one [ncells, NUM_CH,
+  ci] reshape+transpose before the slot unsort;
+- blocks with no alive i slot (mass 0 is the in-band dead marker, and pad
+  slots carry zero rows) skip the window DMAs and pair math entirely under
+  ``pl.when`` and write the exact dead-row outputs instead (zeros; momentum
+  writes the no-candidate sentinel with the i slots' own ids) — clustered
+  scenes leave most of the finest grid empty, so most programs reduce to
+  one center-row DMA + one predicated store.
 
 Geometry masks (out-of-grid window cells from the flat layout's x wrap) are
 computed from the program's cell ids with static g — the slot grid needs no
@@ -143,141 +153,176 @@ def _near_kernel(eps2_ref, growth_ref, cbase_ref, jrows_hbm, out_ref, *,
         def ival(f):
             return blk0[ring:ring + C, f, 0:ci][:, :, None]
 
-        pis = [ival(f) for f in range(dim)]
-        vis = [ival(dim + f) for f in range(dim)] if need_vel else None
-        mi, ri = ival(rest), ival(rest + 1)
-        hi_i, lo_i = ival(rest + 2), ival(rest + 3)
+        mi = ival(rest)
+        # block occupancy: mass 0 marks dead bodies AND pad slots, so a
+        # zero max means no pair in this block can contribute — skip the
+        # window DMAs and the pair math and write the exact dead-row
+        # outputs instead (clustered scenes leave most cell blocks empty)
+        any_alive = jnp.max(mi) > 0.0
 
-        acc = {
-            "force": [jnp.zeros((C, ci), jnp.float32) for _ in range(dim)]}
-        if mode == "reference":
-            acc["gm"] = jnp.zeros((C, ci), jnp.float32)
-            acc["gr"] = jnp.zeros((C, ci), jnp.float32)
-            acc["died"] = jnp.zeros((C, ci), jnp.float32)
-        elif mode == "momentum":
-            acc["bm"] = jnp.full((C, ci), _NEG_INF, jnp.float32)
-            acc["ph"] = hi_i[..., 0]
-            acc["pl"] = lo_i[..., 0]
-        elif mode == "elastic":
-            acc["dv"] = [jnp.zeros((C, ci), jnp.float32)
-                         for _ in range(dim)]
+        @pl.when(jnp.logical_not(any_alive))
+        def _empty_block():
+            if mode == "momentum":
+                # dead/pad i rows still carry their own id lanes through
+                # the parent channels, with the no-candidate sentinel
+                # already decoded to the oracle's -inf (see cols below)
+                zero = jnp.zeros((C, ci), jnp.float32)
+                cols0 = [zero] * dim
+                cols0 += [jnp.full((C, ci), -jnp.inf, jnp.float32),
+                          ival(rest + 2)[..., 0], ival(rest + 3)[..., 0]]
+                cols0 += [zero] * (NUM_CH - len(cols0))
+                out_ref[:] = jnp.concatenate(cols0, axis=-1)
+            else:
+                out_ref[:] = jnp.zeros((C, NUM_CH * ci), jnp.float32)
 
-        for r in range(rows):
-            if r + 1 < rows:
-                dma(r + 1).start()
-            if r > 0:
-                dma(r).wait()
-            blk = blks[slot_of(r)]                  # [C + 2r, L, Spad]
+        @pl.when(any_alive)
+        def _compute_block():
+            pis = [ival(f) for f in range(dim)]
+            vis = ([ival(dim + f) for f in range(dim)]
+                   if need_vel else None)
+            ri = ival(rest + 1)
+            hi_i, lo_i = ival(rest + 2), ival(rest + 3)
 
-            # per-cell x-window: concat of the win shifted leading-dim
-            # slices, each cut back to its real S slot lanes
-            jc = jnp.concatenate(
-                [blk[dx:dx + C, :, 0:S] for dx in range(win)],
-                axis=-1)                            # [C, L, win*S]
-
-            def jval(f):
-                return jc[:, f, :][:, None, :]                   # [C,1,W]
-
-            # geometry mask [C, W]: row offset in range (lane-uniform)
-            # and x + dx in range (per S-lane block) — folded into m_j so
-            # wrapped flat neighbors are inert like dead/pad rows
-            ok_row = jnp.ones((C, 1), jnp.float32)
-            for a, o in enumerate(offs[r]):
-                nd = higher[a] + o
-                ok_row = ok_row * ((nd >= 0) & (nd < g)).astype(jnp.float32)
-            okx = jnp.concatenate(
-                [jnp.broadcast_to(
-                    (ok_row * (((xs + dx - ring) >= 0)
-                               & ((xs + dx - ring) < g)).astype(jnp.float32)),
-                    (C, S)) for dx in range(win)], axis=-1)      # [C, W]
-
-            pjs = [jval(f) for f in range(dim)]
-            mj = jval(rest) * okx[:, None, :]
-            rj = jval(rest + 1)
-            hi_j, lo_j = jval(rest + 2), jval(rest + 3)
-
-            alive = (mi > 0) & (mj > 0)
-            notself = (hi_i != hi_j) | (lo_i != lo_j)
-            valid = alive & notself
-
-            dp = [b - a for a, b in zip(pis, pjs)]   # [C, ci, W] each
-            d2 = dp[0] * dp[0]
-            for c in dp[1:]:
-                d2 = d2 + c * c
-            rsum = ri + rj
-            overlap = (d2 <= rsum * rsum) & valid
-
-            fmask = valid if mode == "elastic" else (valid & ~overlap)
-            d2e = d2 + eps2
-            safe = fmask & (d2e > 0)
-            inv = lax.rsqrt(jnp.where(safe, d2e, 1.0))
-            w = jnp.where(safe, mj * (inv * inv * inv), 0.0)
-            for d in range(dim):
-                acc["force"][d] = acc["force"][d] + jnp.sum(w * dp[d],
-                                                            axis=2)
-
+            acc = {"force": [jnp.zeros((C, ci), jnp.float32)
+                             for _ in range(dim)]}
             if mode == "reference":
-                heavier = mi >= mj
-                merge = overlap & heavier
-                acc["gm"] = acc["gm"] + jnp.sum(
-                    jnp.where(merge, mj, 0.0), axis=2)
-                acc["gr"] = acc["gr"] + jnp.sum(
-                    jnp.where(merge, rj * growth, 0.0), axis=2)
-                acc["died"] = acc["died"] + jnp.sum(
-                    jnp.where(overlap & ~heavier, 1.0, 0.0), axis=2)
+                acc["gm"] = jnp.zeros((C, ci), jnp.float32)
+                acc["gr"] = jnp.zeros((C, ci), jnp.float32)
+                acc["died"] = jnp.zeros((C, ci), jnp.float32)
             elif mode == "momentum":
-                # j beats i if heavier, or equal mass and lower global id
-                # (hi/lo lexicographic — both lanes exact in f32)
-                id_lt = (hi_j < hi_i) | ((hi_j == hi_i) & (lo_j < lo_i))
-                cand = overlap & ((mj > mi) | ((mj == mi) & id_lt))
-                key = jnp.where(cand, mj, _NEG_INF)
-                bm = jnp.max(key, axis=2)                        # [C, ci]
-                # tie-break lowest global id among the best: first minimize
-                # hi, then lo within the winning hi — all in exact f32
-                is_best = cand & (key == bm[..., None])
-                oh = jnp.where(is_best, -hi_j, _NEG_INF)
-                bh = -jnp.max(oh, axis=2)
-                ol = jnp.where(is_best & (hi_j == bh[..., None]),
-                               -lo_j, _NEG_INF)
-                bl = -jnp.max(ol, axis=2)
-                has = bm > _NEG_INF
-                # combine with the running best across rows (same ordering)
-                better = (bm > acc["bm"]) | (
-                    has & (bm == acc["bm"])
-                    & ((bh < acc["ph"])
-                       | ((bh == acc["ph"]) & (bl < acc["pl"]))))
-                acc["ph"] = jnp.where(better, bh, acc["ph"])
-                acc["pl"] = jnp.where(better, bl, acc["pl"])
-                acc["bm"] = jnp.maximum(acc["bm"], bm)
+                acc["bm"] = jnp.full((C, ci), _NEG_INF, jnp.float32)
+                acc["ph"] = hi_i[..., 0]
+                acc["pl"] = lo_i[..., 0]
             elif mode == "elastic":
-                vdotp = (jval(dim) - vis[0]) * dp[0]
-                for d in range(1, dim):
-                    vdotp = vdotp + (jval(dim + d) - vis[d]) * dp[d]
-                approaching = overlap & (vdotp < 0) & (d2 > 0)
-                # 2*m_j/(m_i+m_j) * vdotp/d2 via rsqrt-and-square (exact
-                # division costs many VPU ops; rsqrt^2 is ~2 ulp — the same
-                # trade the exact kernel makes, kernels.py:197-206)
-                rs = lax.rsqrt(jnp.where(approaching, (mi + mj) * d2, 1.0))
-                coef = jnp.where(approaching,
-                                 2.0 * vdotp * (rs * rs) * mj, 0.0)
-                for d in range(dim):
-                    acc["dv"][d] = acc["dv"][d] + jnp.sum(coef * dp[d],
-                                                          axis=2)
+                acc["dv"] = [jnp.zeros((C, ci), jnp.float32)
+                             for _ in range(dim)]
 
-        cols = list(acc["force"])
-        if mode == "reference":
-            cols += [acc["gm"], acc["gr"], acc["died"]]
-        elif mode == "momentum":
-            # hot loop runs on the finite finfo.min sentinel; the unsort
-            # passes this lane through verbatim, so decode the no-candidate
-            # sentinel to the oracle's -inf here
-            cols += [jnp.where(acc["bm"] > _NEG_INF, acc["bm"], -jnp.inf),
-                     acc["ph"], acc["pl"]]
-        elif mode == "elastic":
-            cols += acc["dv"]
-        z = jnp.zeros((C, ci), jnp.float32)
-        cols += [z] * (NUM_CH - len(cols))
-        out_ref[:] = jnp.stack(cols, axis=-1)       # [C, ci, NUM_CH]
+            for r in range(rows):
+                if r + 1 < rows:
+                    dma(r + 1).start()
+                if r > 0:
+                    dma(r).wait()
+                blk = blks[slot_of(r)]              # [C + 2r, L, Spad]
+
+                # per-cell x-window: concat of the win shifted leading-dim
+                # slices, each cut back to its real S slot lanes
+                jc = jnp.concatenate(
+                    [blk[dx:dx + C, :, 0:S] for dx in range(win)],
+                    axis=-1)                        # [C, L, win*S]
+
+                def jval(f):
+                    return jc[:, f, :][:, None, :]               # [C,1,W]
+
+                # geometry mask [C, W]: row offset in range (lane-uniform)
+                # and x + dx in range (per S-lane block) — folded into m_j
+                # so wrapped flat neighbors are inert like dead/pad rows
+                ok_row = jnp.ones((C, 1), jnp.float32)
+                for a, o in enumerate(offs[r]):
+                    nd = higher[a] + o
+                    ok_row = ok_row * ((nd >= 0)
+                                       & (nd < g)).astype(jnp.float32)
+                okx = jnp.concatenate(
+                    [jnp.broadcast_to(
+                        (ok_row * (((xs + dx - ring) >= 0)
+                                   & ((xs + dx - ring)
+                                      < g)).astype(jnp.float32)),
+                        (C, S)) for dx in range(win)], axis=-1)  # [C, W]
+
+                pjs = [jval(f) for f in range(dim)]
+                mj = jval(rest) * okx[:, None, :]
+                rj = jval(rest + 1)
+                hi_j, lo_j = jval(rest + 2), jval(rest + 3)
+
+                alive = (mi > 0) & (mj > 0)
+                notself = (hi_i != hi_j) | (lo_i != lo_j)
+                valid = alive & notself
+
+                dp = [b - a for a, b in zip(pis, pjs)]  # [C, ci, W] each
+                d2 = dp[0] * dp[0]
+                for c in dp[1:]:
+                    d2 = d2 + c * c
+                rsum = ri + rj
+                overlap = (d2 <= rsum * rsum) & valid
+
+                fmask = valid if mode == "elastic" else (valid & ~overlap)
+                d2e = d2 + eps2
+                safe = fmask & (d2e > 0)
+                inv = lax.rsqrt(jnp.where(safe, d2e, 1.0))
+                w = jnp.where(safe, mj * (inv * inv * inv), 0.0)
+                for d in range(dim):
+                    acc["force"][d] = acc["force"][d] + jnp.sum(w * dp[d],
+                                                                axis=2)
+
+                if mode == "reference":
+                    heavier = mi >= mj
+                    merge = overlap & heavier
+                    acc["gm"] = acc["gm"] + jnp.sum(
+                        jnp.where(merge, mj, 0.0), axis=2)
+                    acc["gr"] = acc["gr"] + jnp.sum(
+                        jnp.where(merge, rj * growth, 0.0), axis=2)
+                    acc["died"] = acc["died"] + jnp.sum(
+                        jnp.where(overlap & ~heavier, 1.0, 0.0), axis=2)
+                elif mode == "momentum":
+                    # j beats i if heavier, or equal mass and lower global
+                    # id (hi/lo lexicographic — both lanes exact in f32)
+                    id_lt = (hi_j < hi_i) | ((hi_j == hi_i)
+                                             & (lo_j < lo_i))
+                    cand = overlap & ((mj > mi) | ((mj == mi) & id_lt))
+                    key = jnp.where(cand, mj, _NEG_INF)
+                    bm = jnp.max(key, axis=2)                    # [C, ci]
+                    # tie-break lowest global id among the best: first
+                    # minimize hi, then lo within the winning hi — exact f32
+                    is_best = cand & (key == bm[..., None])
+                    oh = jnp.where(is_best, -hi_j, _NEG_INF)
+                    bh = -jnp.max(oh, axis=2)
+                    ol = jnp.where(is_best & (hi_j == bh[..., None]),
+                                   -lo_j, _NEG_INF)
+                    bl = -jnp.max(ol, axis=2)
+                    has = bm > _NEG_INF
+                    # combine with the running best across rows
+                    better = (bm > acc["bm"]) | (
+                        has & (bm == acc["bm"])
+                        & ((bh < acc["ph"])
+                           | ((bh == acc["ph"]) & (bl < acc["pl"]))))
+                    acc["ph"] = jnp.where(better, bh, acc["ph"])
+                    acc["pl"] = jnp.where(better, bl, acc["pl"])
+                    acc["bm"] = jnp.maximum(acc["bm"], bm)
+                elif mode == "elastic":
+                    vdotp = (jval(dim) - vis[0]) * dp[0]
+                    for d in range(1, dim):
+                        vdotp = vdotp + (jval(dim + d) - vis[d]) * dp[d]
+                    approaching = overlap & (vdotp < 0) & (d2 > 0)
+                    # 2*m_j/(m_i+m_j) * vdotp/d2 via rsqrt-and-square
+                    # (exact division costs many VPU ops; rsqrt^2 is ~2
+                    # ulp — the same trade the exact kernel makes,
+                    # kernels.py:197-206)
+                    rs = lax.rsqrt(jnp.where(approaching,
+                                             (mi + mj) * d2, 1.0))
+                    coef = jnp.where(approaching,
+                                     2.0 * vdotp * (rs * rs) * mj, 0.0)
+                    for d in range(dim):
+                        acc["dv"][d] = acc["dv"][d] + jnp.sum(
+                            coef * dp[d], axis=2)
+
+            cols = list(acc["force"])
+            if mode == "reference":
+                cols += [acc["gm"], acc["gr"], acc["died"]]
+            elif mode == "momentum":
+                # hot loop runs on the finite finfo.min sentinel; the
+                # unsort passes this lane through verbatim, so decode the
+                # no-candidate sentinel to the oracle's -inf here
+                cols += [jnp.where(acc["bm"] > _NEG_INF,
+                                   acc["bm"], -jnp.inf),
+                         acc["ph"], acc["pl"]]
+            elif mode == "elastic":
+                cols += acc["dv"]
+            z = jnp.zeros((C, ci), jnp.float32)
+            cols += [z] * (NUM_CH - len(cols))
+            # LANE-MERGED channel-major write ([C, NUM_CH*ci]): a trailing
+            # 8-wide channel axis would be lane-padded to 128 by XLA (16x
+            # HBM expansion on the kernel output — OOMs N=16M and pays 16x
+            # the write bandwidth)
+            out_ref[:] = jnp.concatenate(cols, axis=-1)
 
     pl.run_scoped(
         body,
@@ -308,10 +353,15 @@ def slots_near_raw(jrows, *, mode: str, eps2, growth,
     shard's first cell), ncells_eval the static slice length; the slot
     grid stays global so windows cross shard boundaries.
 
-    Returns f32[ncells_eval or g**dim, ci, NUM_CH]: per-slot channels in
-    the unsort's packed-lane order (force[0:dim], then mode lanes:
-    gained_mass / gained_radius / died_count | best_mass / parent_hi /
-    parent_lo | dv[0:dim]).
+    Returns f32[ncells_eval or g**dim, NUM_CH * ci]: per-slot channels,
+    LANE-MERGED channel-major per cell (lanes [k*ci, (k+1)*ci) hold
+    channel k for the cell's ci slots), in the unsort's packed-lane
+    channel order (force[0:dim], then mode lanes: gained_mass /
+    gained_radius / died_count | best_mass / parent_hi / parent_lo |
+    dv[0:dim]). The caller un-merges with
+    ``raw.reshape(ncells, NUM_CH, ci).transpose(0, 2, 1)``; a trailing
+    8-wide channel axis here would be lane-padded to 128 by XLA — a
+    measured 16x HBM expansion of the kernel output.
     """
     ncells = ncells_eval or g ** dim
     win = 2 * ring + 1
@@ -337,9 +387,9 @@ def slots_near_raw(jrows, *, mode: str, eps2, growth,
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),     # cell_base
             pl.BlockSpec(memory_space=pl.ANY),         # jrows: manual DMA
         ],
-        out_specs=pl.BlockSpec((C, ci, NUM_CH), lambda c: (c, 0, 0),
+        out_specs=pl.BlockSpec((C, NUM_CH * ci), lambda c: (c, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ncells, ci, NUM_CH), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ncells, NUM_CH * ci), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             # Mosaic keeps ~20 [C, ci, Wpad] pair temporaries on its stack

@@ -381,6 +381,51 @@ def test_pallas_near_matches_jnp_slots(mode, dim, ring):
     np.testing.assert_array_equal(np.asarray(a.parent), np.asarray(b.parent))
 
 
+@pytest.mark.parametrize("mode", ["reference", "momentum", "elastic"])
+def test_pallas_near_empty_blocks(mode):
+    """Clustered scenes leave whole kernel cell blocks with no alive slot;
+    the kernel skips their window DMAs and pair math (pl.when) and must
+    write the exact dead-row outputs the full pair math would produce —
+    zeros, and for momentum the no-candidate sentinel with the slots' own
+    id lanes. lv=5 (1024 cells) against block_cells=256 gives 4 grid
+    programs; everybody lives in the bottom rows except two extent-
+    stretching outliers in the top row, so the middle programs are
+    all-empty."""
+    import jax.numpy as jnp
+    from nbodyax.physics.barneshut import _extent, _near_field_cells
+    from nbodyax.physics.near_pallas import block_cells
+
+    rng = np.random.RandomState(11)
+    n = 1024
+    pos = np.empty((n, 2), np.float32)
+    pos[:, 0] = rng.uniform(-1000, 1000, n)
+    pos[:, 1] = rng.uniform(-1000, -850, n)       # bottom 2-3 cell rows
+    pos[0] = (-990.0, 990.0)                       # extent stretchers
+    pos[1] = (990.0, 995.0)
+    vel = rng.uniform(-3, 3, (n, 2)).astype(np.float32)
+    mass = rng.uniform(1, 100, n).astype(np.float32)
+    mass[3] = 0.0
+    radius = rng.uniform(1, 30, n).astype(np.float32)
+    ext = _extent(jnp.asarray(pos), jnp.asarray(mass) > 0)
+    assert block_cells(1 << 10, 32, 120) == 256    # 4 programs at lv=5
+    args = (ext, 5, 1, jnp.float32(50.0) ** 2, jnp.float32(0.1), mode, 40)
+    a = _near_field_cells(pos, vel, mass, radius, *args, ci_cap=32,
+                          near="slots", pallas_near=False)
+    b = _near_field_cells(pos, vel, mass, radius, *args, ci_cap=32,
+                          near="slots", pallas_near=True)
+    for name in {"reference": ["force", "gained_mass", "gained_radius"],
+                 "momentum": ["force", "best_mass"],
+                 "elastic": ["force", "dv"]}[mode]:
+        x, y = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
+        fin = np.isfinite(x)
+        np.testing.assert_array_equal(fin, np.isfinite(y), err_msg=name)
+        err = np.max(np.abs(np.where(fin, x - y, 0.0)))
+        assert err <= 2e-5 * max(1e-30, np.max(np.abs(np.where(fin, x, 0.0)))), \
+            (name, err)
+    np.testing.assert_array_equal(np.asarray(a.died), np.asarray(b.died))
+    np.testing.assert_array_equal(np.asarray(a.parent), np.asarray(b.parent))
+
+
 @pytest.mark.parametrize("dim", [2, 3])
 def test_l2p_slots_matches_per_body_l2p(dim):
     """The slot-side L2P (zero gathers; rides the near unsort) must evaluate
