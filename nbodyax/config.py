@@ -92,6 +92,13 @@ class SimConfig:
     seed: int = 1024                      # reference hardcodes 1024 (nbody.cu:403)
     softening: float = 0.0                # eps in 1/(d^2+eps^2)^{3/2}; 0 = reference (Q4)
     collision_mode: str = "reference"     # reference | momentum | elastic | none
+    restitution: float = 1.0              # elastic-mode coefficient of
+                                          # restitution e in [0,1]: pair
+                                          # impulse scaled by (1+e)/2 (e=1 =
+                                          # perfectly elastic, the mode's
+                                          # original behavior; e<1 = partially
+                                          # inelastic bounce). Body-body only;
+                                          # wall bounces stay sign-flips.
     boundary_mode: str = "reference"      # reference (Q6 accel*dt flip) | clamp | none
     integrator: str = "euler"             # euler (semi-implicit, reference) | leapfrog
     adaptive_dt: bool = False             # global stability-bounded dt per
@@ -181,6 +188,9 @@ class SimConfig:
                               f"(got {self.dimensions})")
         if self.collision_mode not in ("reference", "momentum", "elastic", "none"):
             raise ConfigError(f"unknown collisionMode {self.collision_mode!r}")
+        if not 0.0 <= self.restitution <= 1.0:
+            raise ConfigError(
+                f"restitution must be in [0, 1] (got {self.restitution})")
         if self.boundary_mode not in ("reference", "clamp", "none"):
             raise ConfigError(f"unknown boundaryMode {self.boundary_mode!r}")
         if self.integrator not in ("euler", "leapfrog"):
@@ -254,6 +264,7 @@ _KEYS = {
     "seed": ("seed", _stoi),
     "softening": ("softening", _stof),
     "collisionMode": ("collision_mode", lambda s, k: s.strip()),
+    "restitution": ("restitution", _stof),
     "boundaryMode": ("boundary_mode", lambda s, k: s.strip()),
     "integrator": ("integrator", lambda s, k: s.strip()),
     "adaptiveDt": ("adaptive_dt", _bool),

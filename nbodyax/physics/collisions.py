@@ -20,11 +20,16 @@ Turns the pairwise accumulators into committed state updates. Three modes
 
 - ``elastic`` — no merging; overlapping, approaching pairs exchange the
   standard 2-body elastic impulse (pairwise momentum- and energy-conserving).
+  A ``restitution`` coefficient e in [0,1] generalizes it to partially
+  inelastic bounces: the impulse scales by (1+e)/2, conserving momentum
+  exactly while dissipating kinetic energy for e<1 (e=0 kills the normal
+  relative velocity entirely — perfectly inelastic contact without merging).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from nbodyax.physics.pairwise import PairAccumulators
@@ -43,12 +48,19 @@ def _pointer_double(parent: jnp.ndarray, iters: int) -> jnp.ndarray:
 
 
 def resolve_collisions(pos, vel, mass, radius, acc: PairAccumulators, *,
-                       mode: str):
+                       mode: str, restitution: float = 1.0):
     """Apply collision outcomes. Returns (pos, vel, mass, radius).
 
     Velocity here is the *pre-kick* velocity: the reference resolves merges in
     the same pass that computes forces, from step-start state (nbody.cu:215-226),
     and commits mass/radius in MoveBodies (nbody.cu:289-290).
+
+    ``restitution`` (elastic mode only) scales the accumulated pair impulse by
+    (1+e)/2 — the standard coefficient-of-restitution generalization of the
+    e=1 impulse the accumulators carry. Since the scale is a per-run constant
+    it hoists out of the pair sum, so every engine (oracle, Pallas kernel,
+    ring, bh near field) shares this single commit point; e=1 keeps the factor
+    exactly 1.0f and the original behavior bit-for-bit.
     """
     if mode == "none":
         return pos, vel, mass, radius
@@ -81,6 +93,8 @@ def resolve_collisions(pos, vel, mass, radius, acc: PairAccumulators, *,
         return new_pos, new_vel, new_mass, new_radius
 
     if mode == "elastic":
-        return pos, vel + acc.dv, mass, radius
+        fac = np.float32(0.5 * (1.0 + float(restitution)))
+        dv = acc.dv if fac == np.float32(1.0) else fac * acc.dv
+        return pos, vel + dv, mass, radius
 
     raise ValueError(f"unknown collision mode {mode!r}")

@@ -52,6 +52,10 @@ class PhysicsParams:
     growth_rate: float = 0.1
     eps: float = 0.0                      # softening; 0 = reference (Q4)
     collision_mode: str = "reference"
+    restitution: float = 1.0              # elastic-mode e: impulse scaled by
+                                          # (1+e)/2 at the commit (hoists out
+                                          # of the pair sum; e=1 is bit-exact
+                                          # the original elastic path)
     boundary_mode: str = "reference"
     integrator: str = "euler"
     # adaptive global timestep (beyond-reference, off by default: the
@@ -77,6 +81,7 @@ class PhysicsParams:
                    growth_rate=float(jnp.float32(cfg.growth_rate)),
                    eps=float(cfg.softening),
                    collision_mode=cfg.collision_mode,
+                   restitution=float(getattr(cfg, "restitution", 1.0)),
                    boundary_mode=cfg.boundary_mode,
                    integrator=cfg.integrator,
                    adaptive_dt=bool(getattr(cfg, "adaptive_dt", False)),
@@ -151,7 +156,7 @@ def apply_euler_update(state: SimState, acc: PairAccumulators,
     """Collision commit + finish_euler on a SimState."""
     pos2, vel2, mass2, radius2 = resolve_collisions(
         state.pos, state.vel, state.mass, state.radius, acc,
-        mode=p.collision_mode)
+        mode=p.collision_mode, restitution=p.restitution)
     dt = step_dt(vel2, mass2, radius2, acc.force, p)
     out = finish_euler(pos2, vel2, mass2, radius2, state.radius, acc.force,
                        p, dt=dt)
@@ -240,7 +245,7 @@ def make_step(p: PhysicsParams,
         acc = accum_fn(state.pos, state.vel, state.mass, state.radius)
         pos2, vel2, mass2, radius2 = resolve_collisions(
             state.pos, state.vel, state.mass, state.radius, acc,
-            mode=p.collision_mode)
+            mode=p.collision_mode, restitution=p.restitution)
         dt = step_dt(vel2, mass2, radius2, acc.force, p)
         v_half, new_pos = half_kick_drift(pos2, vel2, acc.force, p, dt=dt)
         acc2 = accum_fn(new_pos, v_half, mass2, radius2)
@@ -315,7 +320,7 @@ def make_split_step(p: PhysicsParams, n_splits: int,
                          dim=dim)
         pos2, vel2, mass2, radius2 = resolve_collisions(
             state.pos, state.vel, state.mass, state.radius, acc,
-            mode=p.collision_mode)
+            mode=p.collision_mode, restitution=p.restitution)
         dt = step_dt(vel2, mass2, radius2, acc.force, p)
         v_half, new_pos = half_kick_drift(pos2, vel2, acc.force, p, dt=dt)
         return pos2, new_pos, v_half, mass2, radius2, dt

@@ -109,7 +109,8 @@ def make_sharded_bh_step(cfg: SimConfig,
 
         acc = bh_acc(pos, vel, mass, radius)
         pos2, vel2, mass2, radius2 = resolve_collisions_sharded(
-            pos, vel, mass, radius, acc, p.collision_mode)
+            pos, vel, mass, radius, acc, p.collision_mode,
+            restitution=p.restitution)
         from nbodyax.physics.step import step_dt
         # adaptiveDt: pmin makes the lockstep dt identical on every shard
         dt = step_dt(vel2, mass2, radius2, acc.force, p, axis_name=AXIS)

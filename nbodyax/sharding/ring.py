@@ -119,7 +119,8 @@ def ring_accumulators(pos, vel, mass, radius, *, n_shards: int,
     return acc
 
 
-def resolve_collisions_sharded(pos, vel, mass, radius, acc, mode):
+def resolve_collisions_sharded(pos, vel, mass, radius, acc, mode,
+                               restitution=1.0):
     """Collision resolution inside a ``shard_map`` body (local arrays, named
     axis AXIS in scope). reference/elastic/none resolve purely locally;
     momentum-mode merge trees span shards, so the resolve runs replicated on
@@ -127,7 +128,8 @@ def resolve_collisions_sharded(pos, vel, mass, radius, acc, mode):
     the pair math) and each shard keeps its own slice. Shared by the exact
     ring step and the sharded bh step."""
     if mode != "momentum":
-        return resolve_collisions(pos, vel, mass, radius, acc, mode=mode)
+        return resolve_collisions(pos, vel, mass, radius, acc, mode=mode,
+                                  restitution=restitution)
     g = lambda x: lax.all_gather(x, AXIS, tiled=True)
     acc_g = jax.tree.map(g, acc)
     out_g = resolve_collisions(g(pos), g(vel), g(mass), g(radius), acc_g,
@@ -161,7 +163,8 @@ def make_sharded_step(cfg: SimConfig, p: PhysicsParams,
                        need_vel=p.collision_mode == "elastic")
         acc = ring(pos, vel, mass, radius)
         pos2, vel2, mass2, radius2 = resolve_collisions_sharded(
-            pos, vel, mass, radius, acc, p.collision_mode)
+            pos, vel, mass, radius, acc, p.collision_mode,
+            restitution=p.restitution)
         # adaptiveDt: local per-shard bound, pmin'd so every shard steps
         # with the identical lockstep dt (a replicated scalar)
         dt = step_dt(vel2, mass2, radius2, acc.force, p, axis_name=AXIS)

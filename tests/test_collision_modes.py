@@ -127,3 +127,66 @@ def test_momentum_mode_long_run_mass_conserved():
     m1, _ = totals(st)
     assert m1 == pytest.approx(m0, rel=1e-5)
     assert np.all(np.isfinite(np.asarray(st.pos)))
+
+
+# --- restitution (elastic-mode coefficient e: impulse scaled by (1+e)/2) ---
+
+def _elastic_params(e):
+    return PhysicsParams(dt=0.0, collision_mode="elastic", restitution=e,
+                         eps=1e3, **BIG_FIELD)
+
+
+def test_restitution_head_on_equal_mass():
+    # 1-D two-body with restitution e: v' = ((1-e)v1 + (1+e)v2)/2 for equal
+    # masses; head-on +-1 therefore leaves +-e
+    st = make_state(np.array([[0, 0], [3, 0]], np.float32),
+                    np.array([[1, 0], [-1, 0]], np.float32),
+                    np.array([10.0, 10.0], np.float32),
+                    np.array([2.0, 2.0], np.float32))
+    out = make_step(_elastic_params(0.5))(st)
+    v = np.asarray(out.vel)
+    assert v[0, 0] == pytest.approx(-0.5, rel=1e-5)
+    assert v[1, 0] == pytest.approx(0.5, rel=1e-5)
+
+
+def test_restitution_zero_is_perfectly_inelastic():
+    # e=0 kills the normal relative velocity (bodies move together) without
+    # merging; head-on equal masses stop dead
+    st = make_state(np.array([[0, 0], [3, 0]], np.float32),
+                    np.array([[1, 0], [-1, 0]], np.float32),
+                    np.array([10.0, 10.0], np.float32),
+                    np.array([2.0, 2.0], np.float32))
+    out = make_step(_elastic_params(0.0))(st)
+    np.testing.assert_allclose(np.asarray(out.vel), 0.0, atol=1e-6)
+    assert float(np.asarray(out.mass).sum()) == pytest.approx(20.0)
+
+
+def test_restitution_conserves_momentum_dissipates_energy():
+    st = make_state(np.array([[0, 0], [3, 1]], np.float32),
+                    np.array([[2, 0.5], [-1, -0.25]], np.float32),
+                    np.array([7.0, 3.0], np.float32),
+                    np.array([2.0, 2.0], np.float32))
+    m = np.asarray(st.mass, np.float64)
+    v0 = np.asarray(st.vel, np.float64)
+    out = make_step(_elastic_params(0.6))(st)
+    v1 = np.asarray(out.vel, np.float64)
+    np.testing.assert_allclose((m[:, None] * v1).sum(0),
+                               (m[:, None] * v0).sum(0), rtol=1e-6)
+    ke0 = 0.5 * (m * (v0 ** 2).sum(1)).sum()
+    ke1 = 0.5 * (m * (v1 ** 2).sum(1)).sum()
+    assert ke1 < ke0  # dissipative for e < 1
+    # relative normal velocity reverses scaled by exactly e
+    n = (np.asarray(st.pos, np.float64)[1] - np.asarray(st.pos, np.float64)[0])
+    n /= np.linalg.norm(n)
+    pre = np.dot(v0[1] - v0[0], n)
+    post = np.dot(v1[1] - v1[0], n)
+    assert post == pytest.approx(-0.6 * pre, rel=1e-5)
+
+
+def test_restitution_one_is_bitwise_default():
+    st = random_state(64, seed=11)
+    out_def = make_step(_elastic_params(1.0))(st)
+    out_e1 = make_step(PhysicsParams(dt=0.0, collision_mode="elastic",
+                                     eps=1e3, **BIG_FIELD))(st)
+    np.testing.assert_array_equal(np.asarray(out_def.vel),
+                                  np.asarray(out_e1.vel))

@@ -103,3 +103,14 @@ def test_energy_every_requires_log_every_multiple():
     with pytest.raises(ConfigError, match="energyEvery"):
         SimConfig(energy_every=10, log_every=7).validate()
     SimConfig(energy_every=10, log_every=5).validate()  # ok
+
+
+def test_restitution_key_and_validation():
+    cfg = apply_overrides(SimConfig(), ["collisionMode=elastic",
+                                        "restitution=0.5f"])
+    assert cfg.restitution == pytest.approx(0.5)
+    cfg.validate()
+    with pytest.raises(ConfigError, match="restitution"):
+        apply_overrides(SimConfig(), ["restitution=1.5"]).validate()
+    with pytest.raises(ConfigError, match="restitution"):
+        apply_overrides(SimConfig(), ["restitution=-0.1"]).validate()

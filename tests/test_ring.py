@@ -156,3 +156,22 @@ def test_sharded_leapfrog_matches_single_device(mode):
                                rtol=1e-5, atol=1e-3)
     np.testing.assert_allclose(np.asarray(a.mass), np.asarray(b.mass),
                                rtol=1e-6)
+
+
+def test_sharded_elastic_restitution_matches_single_device():
+    """restitution rides resolve_collisions_sharded's shared commit point —
+    pin the sharded elastic e=0.5 step to the single-device step."""
+    n = 256
+    st = random_state(n, seed=5)
+    p = PhysicsParams(dt=0.1, field_width=1000, field_height=1000,
+                      collision_mode="elastic", restitution=0.5)
+    cfg = SimConfig(shards=N_DEV, backend="jnp", collision_mode="elastic",
+                    restitution=0.5)
+    mesh = make_mesh(N_DEV)
+    st_sh = shard_state(pad_to_shards(st, N_DEV), mesh)
+    a = make_sharded_step(cfg, p, mesh=mesh)(st_sh)
+    b = make_step(p)(st)
+    np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos),
+                               rtol=1e-5, atol=1e-4)
