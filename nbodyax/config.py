@@ -100,7 +100,11 @@ class SimConfig:
                                           # inelastic bounce). Body-body only;
                                           # wall bounces stay sign-flips.
     boundary_mode: str = "reference"      # reference (Q6 accel*dt flip) | clamp | none
-    integrator: str = "euler"             # euler (semi-implicit, reference) | leapfrog
+    integrator: str = "euler"             # euler (semi-implicit, reference)
+                                          # | leapfrog (2nd-order symplectic
+                                          # KDK) | yoshida4 (4th-order
+                                          # symplectic composition; 4 force
+                                          # passes/step — accuracy runs)
     adaptive_dt: bool = False             # global stability-bounded dt per
                                           # step (lockstep; beyond-reference —
                                           # the reference is fixed-dt). dt =
@@ -193,7 +197,7 @@ class SimConfig:
                 f"restitution must be in [0, 1] (got {self.restitution})")
         if self.boundary_mode not in ("reference", "clamp", "none"):
             raise ConfigError(f"unknown boundaryMode {self.boundary_mode!r}")
-        if self.integrator not in ("euler", "leapfrog"):
+        if self.integrator not in ("euler", "leapfrog", "yoshida4"):
             raise ConfigError(f"unknown integrator {self.integrator!r}")
         if self.adaptive_dt:
             if self.dt_eta <= 0:

@@ -118,8 +118,9 @@ def build_step(cfg: SimConfig, capacity: int = 0,
     p = PhysicsParams.from_config(cfg)
     capacity = capacity or cfg.particle_count
     if cfg.shards > 1:
-        # leapfrog's KDK runs two full ring passes inside the one dispatch
-        passes = 2 if cfg.integrator == "leapfrog" else 1
+        # leapfrog's KDK runs two full ring passes inside the one dispatch;
+        # yoshida4's composition runs four
+        passes = {"euler": 1, "leapfrog": 2, "yoshida4": 4}[cfg.integrator]
         if (cfg.force_model != "bh"
                 and passes * float(capacity) ** 2 / cfg.shards
                 > MAX_PAIRS_PER_DISPATCH):

@@ -35,7 +35,8 @@ from nbodyax.physics.collisions import resolve_collisions
 from nbodyax.physics.pairwise import PairAccumulators, pair_accumulators
 from nbodyax.state import SimState
 
-__all__ = ["PhysicsParams", "make_step", "step_dt", "GRAV_CONSTANT"]
+__all__ = ["PhysicsParams", "make_step", "step_dt", "yoshida4_tail",
+           "GRAV_CONSTANT"]
 
 # np (not jnp) scalar: importing this module must not initialize a JAX backend
 GRAV_CONSTANT = np.float32(6.67408e-11)  # nbody.cu:37
@@ -198,6 +199,49 @@ def finish_leapfrog(pos2, new_pos, v_half, mass2, radius2, force2,
     return new_pos, new_vel, mass2, radius2
 
 
+# Yoshida (1990) 4th-order symplectic composition: three leapfrog substeps
+# scaled by (w1, w0, w1). The negative middle substep is what cancels the
+# 2nd-order error term; coefficients are exact in f64 and rounded once to f32.
+_YOSH_W1 = 1.0 / (2.0 - 2.0 ** (1.0 / 3.0))
+_YOSH_W0 = 1.0 - 2.0 * _YOSH_W1
+
+
+def yoshida4_tail(pos2, vel2, mass2, radius2, force1, accum_fn,
+                  p: PhysicsParams, dt=None):
+    """4th-order symplectic tail (post-collision): the three scaled leapfrog
+    substeps merged into a kick-drift chain with kick coefficients
+    c = (w1/2, (w0+w1)/2, (w0+w1)/2, w1/2) and drift coefficients
+    d = (w1, w0, w1) — three *additional* force passes beyond the step-start
+    pass whose force is ``force1``. Collision resolution happened once at the
+    step-start pass (same placement as leapfrog); boundary handling and the
+    dead-slot freeze run once at the end, mirroring ``finish_leapfrog``.
+    ``accum_fn(pos, vel, mass, radius) -> PairAccumulators`` supplies the
+    mid-step force passes, so the same tail serves the single-dispatch, ring-
+    sharded, and bh-sharded steps."""
+    dt = jnp.float32(p.dt) if dt is None else dt
+    c = (_YOSH_W1 / 2, (_YOSH_W0 + _YOSH_W1) / 2,
+         (_YOSH_W0 + _YOSH_W1) / 2, _YOSH_W1 / 2)
+    d = (_YOSH_W1, _YOSH_W0, _YOSH_W1)
+    v = vel2 + force1 * GRAV_CONSTANT * (np.float32(c[0]) * dt)
+    x = pos2 + v * (np.float32(d[0]) * dt)
+    for i in (1, 2):
+        acc = accum_fn(x, v, mass2, radius2)
+        v = v + acc.force * GRAV_CONSTANT * (np.float32(c[i]) * dt)
+        x = x + v * (np.float32(d[i]) * dt)
+    a4 = accum_fn(x, v, mass2, radius2).force * GRAV_CONSTANT
+    new_vel = v + a4 * (np.float32(c[3]) * dt)
+    new_pos = x
+    if p.boundary_mode == "reference":
+        new_vel = _boundary_flip(new_pos, new_vel, radius2, a4 * dt, p)
+    elif p.boundary_mode == "clamp":
+        new_vel = _boundary_flip(new_pos, new_vel, radius2, new_vel * dt, p)
+        new_pos = _clamp_positions(new_pos, radius2, p)
+    alive = (mass2 > 0)[:, None]
+    new_vel = jnp.where(alive, new_vel, 0.0)
+    new_pos = jnp.where(alive, new_pos, pos2)
+    return new_pos, new_vel, mass2, radius2
+
+
 def _field_vec(p: PhysicsParams, dim: int):
     """Per-axis field half-extents; the z extent only exists in 3-D runs."""
     return jnp.array([p.field_width, p.field_height,
@@ -253,7 +297,19 @@ def make_step(p: PhysicsParams,
                               acc2.force, p, dt=dt)
         return SimState(*out, state.step + 1, state.sim_time + dt)
 
-    step = euler_step if p.integrator == "euler" else leapfrog_step
+    def yoshida_step(state: SimState) -> SimState:
+        """4th-order composition; collisions resolve at the first kick."""
+        acc = accum_fn(state.pos, state.vel, state.mass, state.radius)
+        pos2, vel2, mass2, radius2 = resolve_collisions(
+            state.pos, state.vel, state.mass, state.radius, acc,
+            mode=p.collision_mode, restitution=p.restitution)
+        dt = step_dt(vel2, mass2, radius2, acc.force, p)
+        out = yoshida4_tail(pos2, vel2, mass2, radius2, acc.force,
+                            accum_fn, p, dt=dt)
+        return SimState(*out, state.step + 1, state.sim_time + dt)
+
+    step = {"euler": euler_step, "leapfrog": leapfrog_step,
+            "yoshida4": yoshida_step}[p.integrator]
     return jax.jit(step)
 
 
@@ -272,6 +328,12 @@ def make_split_step(p: PhysicsParams, n_splits: int,
     split x4). Host orchestration between dispatches; leapfrog runs the split
     pair pass twice per step (KDK's second force evaluation).
     """
+    if p.integrator == "yoshida4":
+        raise ValueError(
+            "integrator=yoshida4 is not supported on the split-dispatch "
+            "huge-N path (four full pair passes per step would quadruple "
+            "the dispatch budget); use forceModel=bh or "
+            "integrator=leapfrog at this N")
     from nbodyax.physics.kernels import (DEFAULT_TILE_I, DEFAULT_TILE_J,
                                          body_features, decode_raw,
                                          tile_accumulators_raw)

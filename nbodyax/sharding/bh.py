@@ -118,6 +118,10 @@ def make_sharded_bh_step(cfg: SimConfig,
         if p.integrator == "euler":
             return finish_euler(pos2, vel2, mass2, radius2, radius,
                                 acc.force, p, dt=dt) + (dt,)
+        if p.integrator == "yoshida4":
+            from nbodyax.physics.step import yoshida4_tail
+            return yoshida4_tail(pos2, vel2, mass2, radius2, acc.force,
+                                 bh_acc, p, dt=dt) + (dt,)
         v_half, new_pos = half_kick_drift(pos2, vel2, acc.force, p, dt=dt)
         acc2 = bh_acc(new_pos, v_half, mass2, radius2)  # KDK second pass
         return finish_leapfrog(pos2, new_pos, v_half, mass2, radius2,

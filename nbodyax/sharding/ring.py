@@ -172,6 +172,10 @@ def make_sharded_step(cfg: SimConfig, p: PhysicsParams,
         if p.integrator == "euler":
             return finish_euler(pos2, vel2, mass2, radius2, radius,
                                 acc.force, p, dt=dt) + (dt,)
+        if p.integrator == "yoshida4":
+            from nbodyax.physics.step import yoshida4_tail
+            return yoshida4_tail(pos2, vel2, mass2, radius2, acc.force,
+                                 ring, p, dt=dt) + (dt,)
         v_half, new_pos = half_kick_drift(pos2, vel2, acc.force, p, dt=dt)
         acc2 = ring(new_pos, v_half, mass2, radius2)  # KDK second force pass
         return finish_leapfrog(pos2, new_pos, v_half, mass2, radius2,

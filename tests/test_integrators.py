@@ -85,3 +85,62 @@ def test_reference_boundary_reflects_slow_bodies():
     for _ in range(200):
         st = step(st)
     assert np.isfinite(np.asarray(st.pos)).all()
+
+
+def orbit_energy_amp(integrator, dt, steps):
+    """Max relative total-energy excursion over a circular-orbit run."""
+    st, r0 = circular_orbit_state()
+    p = PhysicsParams(dt=dt, field_width=1e9, field_height=1e9,
+                      collision_mode="none", boundary_mode="none",
+                      integrator=integrator)
+    step = make_step(p)
+
+    def energy(s):
+        pos = np.asarray(s.pos, np.float64)
+        vel = np.asarray(s.vel, np.float64)
+        m = np.asarray(s.mass, np.float64)
+        ke = 0.5 * (m * (vel ** 2).sum(1)).sum()
+        return ke - G * m[0] * m[1] / np.linalg.norm(pos[0] - pos[1])
+
+    e0 = energy(st)
+    amp = 0.0
+    for _ in range(steps):
+        st = step(st)
+        amp = max(amp, abs(energy(st) - e0) / abs(e0))
+    return amp
+
+
+def test_yoshida4_energy_beats_leapfrog():
+    """4th-order composition: energy-error amplitude over ~2 orbits is >20x
+    below leapfrog's at the same dt (measured ~136x; the halved-dt
+    convergence-order check is NOT possible in f32 — yoshida4 is already at
+    the ~1e-6 rounding floor at this dt)."""
+    dt = 0.61  # ~T/40 for the fixture orbit
+    leap = orbit_energy_amp("leapfrog", dt, 80)
+    yosh = orbit_energy_amp("yoshida4", dt, 80)
+    assert yosh < leap / 20
+    assert yosh < 1e-5
+
+
+def test_yoshida4_orbit_bounded():
+    drift = orbit_radius_drift("yoshida4")
+    assert drift < 1e-3  # symplectic: radius bounded, tighter than leapfrog
+
+
+def test_yoshida4_supports_collisions():
+    st = make_state(np.array([[0, 0], [5, 0]], np.float32),
+                    np.zeros((2, 2), np.float32),
+                    np.array([100.0, 10.0], np.float32),
+                    np.array([4.0, 4.0], np.float32))
+    p = PhysicsParams(dt=0.1, field_width=1e9, field_height=1e9,
+                      integrator="yoshida4")
+    out = make_step(p)(st)
+    assert float(out.mass[0]) == pytest.approx(110.0)
+    assert float(out.mass[1]) == 0.0
+
+
+def test_yoshida4_rejected_on_split_path():
+    from nbodyax.physics.step import make_split_step
+    p = PhysicsParams(integrator="yoshida4")
+    with pytest.raises(ValueError, match="yoshida4"):
+        make_split_step(p, 2)

@@ -175,3 +175,22 @@ def test_sharded_elastic_restitution_matches_single_device():
                                rtol=1e-5, atol=1e-4)
     np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_sharded_yoshida_matches_single_device():
+    """yoshida4's extra force passes ride the same ring accumulators —
+    sharded == single-device for the 4th-order step too."""
+    n = 256
+    st = random_state(n, seed=7)
+    p = PhysicsParams(dt=0.1, field_width=1000, field_height=1000,
+                      collision_mode="none", integrator="yoshida4")
+    cfg = SimConfig(shards=N_DEV, backend="jnp", collision_mode="none",
+                    integrator="yoshida4")
+    mesh = make_mesh(N_DEV)
+    st_sh = shard_state(pad_to_shards(st, N_DEV), mesh)
+    a = make_sharded_step(cfg, p, mesh=mesh)(st_sh)
+    b = make_step(p)(st)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel),
+                               rtol=1e-5, atol=1e-4)

@@ -214,3 +214,30 @@ def test_cellrange_shards_are_disjoint_and_complete(mode, near):
     # reassociation only, hence the looser tolerance
     np.testing.assert_allclose(merged.dv, np.asarray(full.dv),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_bh_yoshida_matches_single_device():
+    """yoshida4's three extra force passes ride bh_acc (gather + cell-range
+    eval + psum_scatter) — the 4th-order sharded step must match the
+    single-device bh step."""
+    n = 256
+    st = random_state(n, seed=9)
+    p = PhysicsParams(dt=0.05, field_width=2000, field_height=2000, eps=20.0,
+                      collision_mode="none", integrator="yoshida4")
+    cfg = SimConfig(shards=N_DEV, force_model="bh", bh_levels=3,
+                    bh_neighbor_k=128, softening=20.0, collision_mode="none",
+                    integrator="yoshida4")
+    mesh = make_mesh(N_DEV)
+    sharded = make_sharded_bh_step(cfg, p, mesh=mesh)
+    single = make_step(p, accum_fn=partial(
+        bh_accumulators, eps=p.eps, growth_rate=p.growth_rate,
+        mode="none", levels=3, neighbor_k=128))
+    a = shard_state(pad_to_shards(st, N_DEV), mesh)
+    b = st
+    for _ in range(2):
+        a = sharded(a)
+        b = single(b)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos),
+                               rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel),
+                               rtol=1e-4, atol=1e-2)
