@@ -160,7 +160,8 @@ class SimConfig:
                                           # collision range (bounded
                                           # recompiles; 0 = pin the knobs)
     shards: int = 1                       # devices to shard bodies over
-    scene: str = "uniform"                # uniform (reference) | galaxy | three_body
+    scene: str = "uniform"                # uniform (reference) | galaxy |
+                                          # plummer | three_body
     # NOTE deliberately no bf16 knob: bf16's 8-bit mantissa quantizes default-
     # scene positions (~1e5) to ~512-unit steps, far coarser than collision
     # radii — pair math must stay f32 on this workload

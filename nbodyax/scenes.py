@@ -7,6 +7,9 @@
   debugging (commented out at /root/reference/src/nbody.cu:418-429).
 - ``galaxy``: two rotating disks on a collision course — the BASELINE.json
   config-5 "galaxy collision" scenario (not present in the reference).
+- ``plummer``: the classic Plummer-sphere cluster (not present in the
+  reference) — near-equilibrium isotropic initial conditions for relaxation
+  and accuracy studies.
 """
 
 from __future__ import annotations
@@ -138,6 +141,80 @@ def galaxy_scene(cfg: SimConfig) -> SimState:
                       jnp.concatenate([r1, r2]))
 
 
+def plummer_scene(cfg: SimConfig) -> SimState:
+    """Plummer (1911) sphere — the standard self-gravitating cluster initial
+    condition: density rho(r) = (3M/4 pi a^3) (1 + r^2/a^2)^{-5/2}.
+
+    - Radii invert the cumulative mass M(r)/M = r^3/(r^2+a^2)^{3/2} exactly:
+      r = a / sqrt(u^{-2/3} - 1), with u capped so the tail truncates at
+      r_max = 5a (standard practice; also keeps every body inside the field).
+    - Velocities are isotropic with speeds v = q * v_esc(r),
+      v_esc = sqrt(2 G M) (r^2+a^2)^{-1/4}, where q follows Aarseth's
+      distribution g(q) dq ∝ q^2 (1-q^2)^{7/2} dq — sampled by inverse CDF on
+      a precomputed grid (deterministic and jit-friendly; no rejection loop).
+    - dimensions=2 samples directions on the circle with the same radial laws
+      (a "Plummer disk"); dimensions=3 is the classic sphere.
+
+    The scale radius is a = min(field)/12 so the 5a truncation sits well
+    inside the boundary. Body masses are uniform in [minRandBodyMass,
+    maxRandBodyMass) (matching the reference scene's convention,
+    nbody.cu:410-413); the velocity normalization uses the analytic total
+    M = n * (min+max)/2. Body radii reuse the galaxy scene's ~1% packing cap
+    so the core doesn't instantly agglomerate.
+    """
+    n = cfg.particle_count
+    dim = cfg.dimensions
+    key = jax.random.PRNGKey(cfg.seed)
+    k_r, k_dir, k_q, k_vdir, k_m, k_rad = jax.random.split(key, 6)
+    extents = _field_extents(cfg)
+    a = float(min(extents)) / 12.0
+    r_max = 5.0 * a
+    m_total = n * 0.5 * (float(cfg.min_body_mass) + float(cfg.max_body_mass))
+
+    # radial inverse CDF, truncated at r_max
+    u_max = r_max ** 3 / (r_max ** 2 + a ** 2) ** 1.5
+    u = jax.random.uniform(k_r, (n,), minval=1e-6, maxval=u_max)
+    r = a / jnp.sqrt(u ** (-2.0 / 3.0) - 1.0)
+
+    def _unit_vectors(k, count):
+        if dim == 2:
+            th = jax.random.uniform(k, (count,), maxval=2 * jnp.pi)
+            return jnp.stack([jnp.cos(th), jnp.sin(th)], -1)
+        k1, k2 = jax.random.split(k)
+        z = jax.random.uniform(k1, (count,), minval=-1.0, maxval=1.0)
+        th = jax.random.uniform(k2, (count,), maxval=2 * jnp.pi)
+        s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+        return jnp.stack([s * jnp.cos(th), s * jnp.sin(th), z], -1)
+
+    pos = r[:, None] * _unit_vectors(k_dir, n)
+
+    # Aarseth speed fraction q ~ q^2 (1-q^2)^{7/2}: inverse CDF on a grid
+    qs = np.linspace(0.0, 1.0, 2049)
+    pdf = qs ** 2 * (1.0 - qs ** 2) ** 3.5
+    cdf = np.concatenate([[0.0], np.cumsum((pdf[1:] + pdf[:-1]) * 0.5)])
+    cdf /= cdf[-1]
+    uq = jax.random.uniform(k_q, (n,))
+    q = jnp.interp(uq, jnp.asarray(cdf, jnp.float32),
+                   jnp.asarray(qs, jnp.float32))
+    v_esc = jnp.sqrt(2.0 * G * m_total) * (r * r + a * a) ** -0.25
+    vel = (q * v_esc)[:, None] * _unit_vectors(k_vdir, n)
+
+    mass = jax.random.uniform(k_m, (n,), jnp.float32,
+                              minval=cfg.min_body_mass,
+                              maxval=cfg.max_body_mass)
+    # same ~1% packing cap as the galaxy scene, over the half-mass disk
+    mean_r2 = (cfg.min_radius ** 2 + cfg.min_radius * cfg.max_radius
+               + cfg.max_radius ** 2) / 3.0
+    half_mass_r = a / np.sqrt(2.0 ** (2.0 / 3.0) - 1.0)
+    packing = n * np.pi * mean_r2 / (np.pi * half_mass_r ** 2)
+    r_scale = float(min(1.0, np.sqrt(0.01 / max(packing, 1e-30))))
+    radius = jax.random.uniform(k_rad, (n,), jnp.float32,
+                                minval=cfg.min_radius * r_scale,
+                                maxval=cfg.max_radius * r_scale)
+    return make_state(pos.astype(jnp.float32), vel.astype(jnp.float32),
+                      mass, radius)
+
+
 def init_scene(cfg: SimConfig, *, parity: bool = True) -> SimState:
     if cfg.scene == "uniform":
         return uniform_scene(cfg, parity=parity)
@@ -145,4 +222,6 @@ def init_scene(cfg: SimConfig, *, parity: bool = True) -> SimState:
         return three_body_scene(cfg)
     if cfg.scene == "galaxy":
         return galaxy_scene(cfg)
+    if cfg.scene == "plummer":
+        return plummer_scene(cfg)
     raise ValueError(f"unknown scene {cfg.scene!r}")
