@@ -100,6 +100,12 @@ class SimConfig:
                                           # inelastic bounce). Body-body only;
                                           # wall bounces stay sign-flips.
     boundary_mode: str = "reference"      # reference (Q6 accel*dt flip) | clamp | none
+    wall_restitution: float = 1.0         # clamp-mode wall coefficient of
+                                          # restitution: bounce scales the
+                                          # flipped velocity component by e_w
+                                          # in [0,1] (1 = specular, the
+                                          # original behavior; reference mode
+                                          # ignores it — Q6 stays exact)
     integrator: str = "euler"             # euler (semi-implicit, reference)
                                           # | leapfrog (2nd-order symplectic
                                           # KDK) | yoshida4 (4th-order
@@ -196,6 +202,9 @@ class SimConfig:
         if not 0.0 <= self.restitution <= 1.0:
             raise ConfigError(
                 f"restitution must be in [0, 1] (got {self.restitution})")
+        if not 0.0 <= self.wall_restitution <= 1.0:
+            raise ConfigError(f"wallRestitution must be in [0, 1] "
+                              f"(got {self.wall_restitution})")
         if self.boundary_mode not in ("reference", "clamp", "none"):
             raise ConfigError(f"unknown boundaryMode {self.boundary_mode!r}")
         if self.integrator not in ("euler", "leapfrog", "yoshida4"):
@@ -270,6 +279,7 @@ _KEYS = {
     "softening": ("softening", _stof),
     "collisionMode": ("collision_mode", lambda s, k: s.strip()),
     "restitution": ("restitution", _stof),
+    "wallRestitution": ("wall_restitution", _stof),
     "boundaryMode": ("boundary_mode", lambda s, k: s.strip()),
     "integrator": ("integrator", lambda s, k: s.strip()),
     "adaptiveDt": ("adaptive_dt", _bool),

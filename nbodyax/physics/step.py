@@ -58,6 +58,9 @@ class PhysicsParams:
                                           # of the pair sum; e=1 is bit-exact
                                           # the original elastic path)
     boundary_mode: str = "reference"
+    wall_restitution: float = 1.0         # clamp-mode wall bounce scale e_w
+                                          # (reference mode ignores it: the
+                                          # Q6 sign-flip is part of the spec)
     integrator: str = "euler"
     # adaptive global timestep (beyond-reference, off by default: the
     # reference is fixed-dt, nbody.cu:264,288). When on, each step uses
@@ -84,6 +87,8 @@ class PhysicsParams:
                    collision_mode=cfg.collision_mode,
                    restitution=float(getattr(cfg, "restitution", 1.0)),
                    boundary_mode=cfg.boundary_mode,
+                   wall_restitution=float(getattr(cfg, "wall_restitution",
+                                                  1.0)),
                    integrator=cfg.integrator,
                    adaptive_dt=bool(getattr(cfg, "adaptive_dt", False)),
                    dt_eta=float(getattr(cfg, "dt_eta", 0.25)),
@@ -256,7 +261,12 @@ def _boundary_flip(pos, vel, radius, probe_disp, p: PhysicsParams):
     limit = field[None, :] - radius[:, None]
     pred = pos + probe_disp
     out = (pred > limit) | (pred < -limit)
-    return jnp.where(out, -vel, vel)
+    flipped = -vel
+    if p.boundary_mode == "clamp" and p.wall_restitution != 1.0:
+        # partially inelastic wall: scale the reflected component by e_w.
+        # Only in clamp mode — the reference-mode sign-flip is spec (Q6).
+        flipped = np.float32(-p.wall_restitution) * vel
+    return jnp.where(out, flipped, vel)
 
 
 def _clamp_positions(pos, radius, p: PhysicsParams):

@@ -144,3 +144,27 @@ def test_yoshida4_rejected_on_split_path():
     p = PhysicsParams(integrator="yoshida4")
     with pytest.raises(ValueError, match="yoshida4"):
         make_split_step(p, 2)
+
+
+def test_wall_restitution_damps_clamp_bounce():
+    """clamp + wallRestitution=0.5: the reflected component leaves at half
+    speed; e_w=0 stops the body at the wall; reference mode ignores e_w."""
+    field = 1000.0
+    mk = lambda: make_state(np.array([[field - 10, 0]], np.float32),
+                            np.array([[100.0, 0]], np.float32),
+                            np.array([1.0], np.float32),
+                            np.array([1.0], np.float32))
+    common = dict(dt=1.0, field_width=field, field_height=field,
+                  collision_mode="none")
+    half = make_step(PhysicsParams(boundary_mode="clamp",
+                                   wall_restitution=0.5, **common))(mk())
+    assert float(half.vel[0, 0]) == pytest.approx(-50.0)
+    dead = make_step(PhysicsParams(boundary_mode="clamp",
+                                   wall_restitution=0.0, **common))(mk())
+    assert float(dead.vel[0, 0]) == pytest.approx(0.0)
+    assert abs(float(dead.pos[0, 0])) <= field - 1.0 + 1e-3
+    # reference boundary mode: e_w is ignored, Q6 flip stays exact
+    a = make_step(PhysicsParams(boundary_mode="reference",
+                                wall_restitution=0.5, **common))(mk())
+    b = make_step(PhysicsParams(boundary_mode="reference", **common))(mk())
+    np.testing.assert_array_equal(np.asarray(a.vel), np.asarray(b.vel))
