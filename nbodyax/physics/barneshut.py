@@ -74,6 +74,8 @@ from jax import lax
 
 from nbodyax.physics.pairwise import (PairAccumulators, combine_accumulators,
                                       empty_accumulators)
+from nbodyax.physics.slotpack_pallas import (build_jrows_pallas,
+                                             slot_pack_plan)
 
 __all__ = ["bh_accumulators", "bh_cellrange_accumulators",
            "auto_levels", "auto_neighbor_k", "pick_levels",
@@ -880,6 +882,7 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
                       comp_cap: int = 0,
                       pallas_near: bool = False,
                       _fslot=None,
+                      _jrows=None,
                       far_slot_lanes=None) -> PairAccumulators:
     """Near field for the FULL body set (i side == partner set): per-CELL
     shared windows, via one of two engines.
@@ -960,12 +963,19 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
         # the global partner slot grid (one gather; all windows slice it).
         # _fslot is the caller-shared copy (_bh_cells_eval builds it once
         # for the near pass AND the annulus i-side — the gather is the
-        # single most expensive build op, ~0.25 s at N=4M)
-        fslot = _fslot if _fslot is not None else _build_slot_grid(
-            sf, starts, ends, n, ncells, S)
+        # single most expensive build op, ~0.25 s at N=4M). With _jrows
+        # (the Pallas slot-pack build, slotpack_pallas.py) the full-S grid
+        # is never materialized: _fslot is then the ci_cap-slot VIEW, which
+        # covers every i-side slice; the jnp engine's fslot_flat only
+        # exists on the non-pallas path.
+        fslot = _fslot if _fslot is not None else (
+            None if _jrows is not None else _build_slot_grid(
+                sf, starts, ends, n, ncells, S))
         padc = ring * sum(g ** d for d in range(dim))    # max window reach
-        fslot_flat = jnp.pad(fslot.reshape(ncells * S, L),
-                             ((padc * S, padc * S), (0, 0)))
+        fslot_flat = None
+        if _jrows is None:
+            fslot_flat = jnp.pad(fslot.reshape(ncells * S, L),
+                                 ((padc * S, padc * S), (0, 0)))
     else:
         ks = lax.broadcasted_iota(jnp.int32, (1, k), 1)
         slots_i = lax.broadcasted_iota(jnp.int32, (1, ci_cap), 1)
@@ -1073,9 +1083,13 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
         # narrow gathers A/B-measured 3x slower) transposed per cell, slot
         # lanes zero-padded to the manual-DMA alignment unit (128) — pad
         # slots are mass 0, inert through every channel
-        s_pad = -(-S // 128) * 128
-        jrows = jnp.pad(fslot.transpose(0, 2, 1),
-                        ((padc, padc), (0, 0), (0, s_pad - S)))
+        if _jrows is not None:
+            # slot-pack kernel output is already [ncells, L, 128] cell-major
+            jrows = jnp.pad(_jrows, ((padc, padc), (0, 0), (0, 0)))
+        else:
+            s_pad = -(-S // 128) * 128
+            jrows = jnp.pad(fslot.transpose(0, 2, 1),
+                            ((padc, padc), (0, 0), (0, s_pad - S)))
         raw = slots_near_raw(jrows, mode=mode,
                              eps2=eps2, growth=growth_rate,
                              g=g, ring=ring, dim=dim, S=S, ci=ci_cap, L=L,
@@ -1922,10 +1936,32 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
         cell_range = comp_range = None
 
     # the slot grid is shared between the near pass and the annulus's
-    # i-side (its gather is the single most expensive build op at large N)
-    fslot = (None if near != "slots" else _build_slot_grid(
-        structure[4], starts, structure[3], n, ncells,
-        max(neighbor_k, cap)))
+    # i-side (its gather is the single most expensive build op at large N).
+    # On the Pallas near path the gather is replaced by the slot-pack
+    # kernel (physics/slotpack_pallas.py): it emits the near kernel's
+    # [ncells, L, 128] jrows input directly (block DMA + VMEM re-spacing,
+    # with a runtime lax.cond fallback to the exact gather for clustered
+    # states), and the annulus/L2P i-side reads the first-ci_cap-slots
+    # VIEW of it — the full-S grid is never materialized.
+    S_full = max(neighbor_k, cap)
+    jrows_core = None
+    fslot = None
+    if near == "slots":
+        eff_pallas = pallas_near
+        if eff_pallas:
+            from nbodyax.physics.near_pallas import block_cells
+            ncells_eval_chk = ncells if nshards <= 1 else ncells // nshards
+            if block_cells(ncells_eval_chk, cap,
+                           (2 * ring + 1) * S_full) < 8:
+                eff_pallas = False   # mirrors _near_field_cells' demotion
+        plan = (slot_pack_plan(n, ncells, S_full) if eff_pallas else None)
+        if plan is not None:
+            jrows_core = build_jrows_pallas(
+                structure[4], starts, structure[3], n, ncells, S_full, plan)
+            fslot = jrows_core[:, :, :cap].transpose(0, 2, 1)
+        else:
+            fslot = _build_slot_grid(structure[4], starts, structure[3],
+                                     n, ncells, S_full)
 
     far_slot_lanes = None
     if far == "fmm":
@@ -1971,7 +2007,7 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
                                  _structure=structure, cell_range=cell_range,
                                  comp_range=comp_range, near=near,
                                  comp_cap=comp_cap, pallas_near=pallas_near,
-                                 _fslot=fslot,
+                                 _fslot=fslot, _jrows=jrows_core,
                                  far_slot_lanes=far_slot_lanes)
 
     if far == "fmm":

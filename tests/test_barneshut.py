@@ -670,3 +670,43 @@ def test_m2l_conv_matches_scan(dim, ring, order):
                                    order, 3))
     scale = np.abs(a).max()
     assert np.abs(a - b).max() < 2e-6 * scale
+
+
+@pytest.mark.parametrize("case", [
+    (4096, 16, 8, False, 2, False),   # uniform 2-D
+    (4096, 16, 8, True, 2, False),    # crowded cells (fallback or tight fit)
+    (2048, 32, 6, False, 2, True),    # elastic feature layout (L = 2d+4)
+    (4096, 8, 12, False, 3, False),   # 3-D octree grid
+])
+def test_slot_pack_kernel_matches_gather(case):
+    """The Pallas slot-pack build (physics/slotpack_pallas.py: block DMA +
+    VMEM re-spacing, emitting the near kernel's jrows layout directly) must
+    reproduce gather + transpose + pad BITWISE — it is pure data movement,
+    and the runtime lax.cond fallback must keep clustered states exact."""
+    import jax.numpy as jnp
+    from nbodyax.physics.barneshut import (_build_slot_grid, _extent,
+                                           _partner_structure)
+    from nbodyax.physics.slotpack_pallas import (SPAD, build_jrows_pallas,
+                                                 slot_pack_plan)
+    n, g, S, hot, dim, need_vel = case
+    ncells = g ** dim
+    rng = np.random.RandomState(7)
+    pos = rng.uniform(-1000, 1000, (n, dim)).astype(np.float32)
+    mass = rng.uniform(1, 10, n).astype(np.float32)
+    mass[rng.rand(n) < 0.1] = 0.0                  # dead bodies
+    if hot:
+        pos[: n // 2] = rng.uniform(-10, 10, (n // 2, dim))
+    vel = rng.uniform(-1, 1, (n, dim)).astype(np.float32)
+    radius = rng.uniform(1, 2, n).astype(np.float32)
+    ext = _extent(jnp.asarray(pos), jnp.asarray(mass) > 0)
+    _, _, starts, ends, sf = _partner_structure(
+        jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass),
+        jnp.asarray(radius), ext, g, need_vel)
+    fslot = _build_slot_grid(sf, starts, ends, n, ncells, S)
+    ref = jnp.pad(fslot.transpose(0, 2, 1),
+                  ((0, 0), (0, 0), (0, SPAD - S)))
+    plan = slot_pack_plan(n, ncells, S)
+    assert plan is not None
+    out = build_jrows_pallas(sf, starts, ends, n, ncells, S, plan,
+                             interpret=True)
+    assert jnp.array_equal(ref, out)
