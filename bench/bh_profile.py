@@ -116,6 +116,60 @@ def main(argv=None) -> int:
         return s[0][0] + s[2][0] + s[4][0, 0]
 
     @jax.jit
+    def sort_only(pos, mass):
+        # just the partner structure's stable (cell, iota) sort
+        from jax import lax
+
+        from nbodyax.physics.barneshut import _cells, _flatten_cells
+        ext = _extent(pos, mass > 0)
+        cell = jnp.where(mass > 0,
+                         _flatten_cells(_cells(pos, ext, g), g),
+                         g ** args.dim)
+        s_cell, order = lax.sort(
+            (cell, jnp.arange(n, dtype=jnp.int32)), num_keys=1,
+            is_stable=True)
+        return s_cell[0] + order[-1]
+
+    # slot-pack + near-kernel probes run on a PREBUILT structure so they
+    # time exactly one component (slots engine only)
+    slotpack_only = nearkernel_only = None
+    if args.near == "slots":
+        from nbodyax.physics.barneshut import _extent as _ext_fn
+        from nbodyax.physics.slotpack_pallas import (build_jrows_pallas,
+                                                     slot_pack_plan)
+        ncells0 = g ** args.dim
+        S_full = max(args.k, cap)
+        plan = slot_pack_plan(n, ncells0, S_full)
+        if plan is not None:
+            ext0 = jax.jit(lambda p, m: _ext_fn(p, m > 0))(pos, mass)
+            structure0 = jax.jit(
+                lambda p, v, m, r: _partner_structure(
+                    p, v, m, r, ext0, g, False))(pos, vel, mass, radius)
+
+            @jax.jit
+            def slotpack_only(sf, starts, ends):
+                jr = build_jrows_pallas(sf, starts, ends, n, ncells0,
+                                        S_full, plan)
+                return jr[0, 0, 0] + jr[-1, -1, -1]
+
+            jrows0 = jax.jit(
+                lambda sf, st, en: build_jrows_pallas(
+                    sf, st, en, n, ncells0, S_full, plan))(
+                structure0[4], structure0[2], structure0[3])
+            padc0 = args.ring * sum(g ** d for d in range(args.dim))
+            jrows_pad0 = jnp.pad(jrows0, ((padc0, padc0), (0, 0), (0, 0)))
+
+            @jax.jit
+            def nearkernel_only(jrows_pad):
+                from nbodyax.physics.near_pallas import slots_near_raw
+                raw = slots_near_raw(
+                    jrows_pad, mode="reference", eps2=eps2,
+                    growth=jnp.float32(0.1), g=g, ring=args.ring,
+                    dim=args.dim, S=S_full, ci=cap,
+                    L=structure0[4].shape[1])
+                return raw[0, 0] + raw[-1, -1]
+
+    @jax.jit
     def grids_only(pos, mass):
         ext = _extent(pos, mass > 0)
         grids = _level_grids(pos, mass, ext, levels, args.order)
@@ -163,6 +217,7 @@ def main(argv=None) -> int:
 
     probes = {
         "structure_s": (structure_only, (pos, vel, mass, radius)),
+        "sort_s": (sort_only, (pos, mass)),
         "grids_s": (grids_only, (pos, mass)),
         "near_cells_s": (near_cells_only, (pos, vel, mass, radius)),
         "far_cells_s": (far_cells_only, (pos, vel, mass, radius)),
@@ -173,6 +228,11 @@ def main(argv=None) -> int:
         "accum_s": (accum_full, (pos, vel, mass, radius)),
         "full_step_s": (step, (state,)),
     }
+    if slotpack_only is not None:
+        probes["slotpack_s"] = (slotpack_only,
+                                (structure0[4], structure0[2],
+                                 structure0[3]))
+        probes["nearkernel_s"] = (nearkernel_only, (jrows_pad0,))
     only = [s for s in (args.only or "").split(",") if s]
     out = {"n": n, "levels": levels, "k": args.k, "ring": args.ring,
            "order": args.order, "dim": args.dim, "ci_cap": cap,
