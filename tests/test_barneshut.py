@@ -419,7 +419,8 @@ def test_pallas_near_empty_blocks(mode):
         x, y = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
         fin = np.isfinite(x)
         np.testing.assert_array_equal(fin, np.isfinite(y), err_msg=name)
-        err = np.max(np.abs(np.where(fin, x - y, 0.0)))
+        # zero the non-finite lanes BEFORE subtracting (-inf - -inf warns)
+        err = np.max(np.abs(np.where(fin, x, 0.0) - np.where(fin, y, 0.0)))
         assert err <= 2e-5 * max(1e-30, np.max(np.abs(np.where(fin, x, 0.0)))), \
             (name, err)
     np.testing.assert_array_equal(np.asarray(a.died), np.asarray(b.died))
