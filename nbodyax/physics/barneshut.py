@@ -1954,7 +1954,8 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
             if block_cells(ncells_eval_chk, cap,
                            (2 * ring + 1) * S_full) < 8:
                 eff_pallas = False   # mirrors _near_field_cells' demotion
-        plan = (slot_pack_plan(n, ncells, S_full) if eff_pallas else None)
+        plan = (slot_pack_plan(n, ncells, S_full, structure[4].shape[1])
+                if eff_pallas else None)
         if plan is not None:
             jrows_core = build_jrows_pallas(
                 structure[4], starts, structure[3], n, ncells, S_full, plan)

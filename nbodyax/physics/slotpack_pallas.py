@@ -60,12 +60,15 @@ __all__ = ["slot_pack_plan", "build_jrows_pallas"]
 SPAD = 128   # slot-lane width of a jrows cell (the manual-DMA tile unit)
 
 
-def slot_pack_plan(n: int, ncells: int, S: int):
+def slot_pack_plan(n: int, ncells: int, S: int, L: int = 0):
     """Static (cb, cap) for the pack kernel, or None when the shape doesn't
-    fit its model (tiny grids, S past one lane tile, huge-occupancy blocks).
-    cb: cells per program. cap: VMEM lane capacity = mean block span * 1.5
-    slack + one 128-lane tile of alignment headroom, rounded to 128."""
-    if ncells < 128 or ncells % 128 or S > SPAD:
+    fit its model (tiny grids, S past one lane tile, huge-occupancy blocks,
+    or more feature rows than the 8-sublane DMA tile — 3-D elastic packs
+    2*dim+4 = 10 lanes, which the buffer cannot hold; those states take the
+    exact gather path). cb: cells per program. cap: VMEM lane capacity =
+    mean block span * 1.5 slack + one 128-lane tile of alignment headroom,
+    rounded to 128."""
+    if ncells < 128 or ncells % 128 or S > SPAD or L > 8:
         return None
     cb = 128
     mean_span = cb * max(1.0, n / ncells)

@@ -711,3 +711,28 @@ def test_slot_pack_kernel_matches_gather(case):
     out = build_jrows_pallas(sf, starts, ends, n, ncells, S, plan,
                              interpret=True)
     assert jnp.array_equal(ref, out)
+
+
+def test_slot_pack_declines_wide_feature_rows_3d_elastic():
+    """3-D elastic packs 2*dim+4 = 10 feature lanes — more than the pack
+    kernel's 8-sublane DMA buffer. slot_pack_plan must decline (gather
+    fallback) instead of tracing a negative pad (regression: crashed with
+    'index can't contain negative values'), and the full accumulator path
+    must run."""
+    import jax.numpy as jnp
+
+    from nbodyax.physics.barneshut import bh_accumulators
+    from nbodyax.physics.slotpack_pallas import slot_pack_plan
+    assert slot_pack_plan(4096, 4096, 40, L=10) is None
+    assert slot_pack_plan(4096, 4096, 40, L=8) is not None
+    n = 2048
+    rng = np.random.RandomState(3)
+    pos = jnp.asarray(rng.uniform(-1e4, 1e4, (n, 3)).astype(np.float32))
+    vel = jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32))
+    mass = jnp.full((n,), 1e10, jnp.float32)
+    radius = jnp.full((n,), 10.0, jnp.float32)
+    acc = bh_accumulators(pos, vel, mass, radius, eps=50.0, growth_rate=0.1,
+                          mode="elastic", levels=4, ring=1, neighbor_k=40,
+                          order=2, near="slots", near_pallas="on")
+    assert bool(jnp.all(jnp.isfinite(acc.force)))
+    assert bool(jnp.all(jnp.isfinite(acc.dv)))
