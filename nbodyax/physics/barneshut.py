@@ -309,7 +309,28 @@ def _pool(a, s, dim):
     return a.reshape(shape).sum(axis=tuple(range(1, 2 * dim, 2))).reshape(-1)
 
 
-def _level_grids(pos, mass, ext, levels, order=1):
+def _finest_moments_scatter(pos, mass, ext, levels):
+    """Order-2 finest-level moments about each body's own cell center as
+    one [ncells, NM] array (NM = 1 + dim + dim*(dim+1)/2), via ONE wide row
+    scatter-add. Factored out of _level_grids so the slot-pack kernel's
+    in-VMEM moment reduction (physics/slotpack_pallas.py) can share the
+    channel definition and serve as its lax.cond fallback."""
+    dim = pos.shape[-1]
+    g = 1 << levels
+    cs = _cells(pos, ext, g)
+    flat = _flatten_cells(cs, g)
+    ncells = g ** dim
+    pairs = _moment_pairs(dim)
+    mins, csz = _cell_sizes(ext, g)
+    r = [pos[:, d] - (mins[d] + (cs[d].astype(jnp.float32) + 0.5) * csz[d])
+         for d in range(dim)]
+    chans = ([mass] + [mass * r[d] for d in range(dim)]
+             + [mass * r[a] * r[b] for a, b in pairs])
+    return jnp.zeros((ncells, len(chans)), jnp.float32).at[flat].add(
+        jnp.stack(chans, axis=1), mode="drop")
+
+
+def _level_grids(pos, mass, ext, levels, order=1, finest=None):
     """Per-level cell aggregates, any dimensionality (quadtree in 2-D,
     octree in 3-D; 2^(dim*levels) cells at the finest level).
 
@@ -320,11 +341,13 @@ def _level_grids(pos, mass, ext, levels, order=1):
     parallel-axis shifts: about a new reference t_p = t_c + delta,
         S_a' = S_a - M d_a,
         S_ab' = S_ab - d_a S_b - d_b S_a + M d_a d_b   (r' = r - delta).
+
+    ``finest`` (order=2 only): precomputed [ncells, NM] finest-level
+    moments (the slot-pack kernel's second output) — skips the N-row
+    scatter, the single most expensive grid op at large N.
     """
     dim = pos.shape[-1]
     g = 1 << levels
-    cs = _cells(pos, ext, g)
-    flat = _flatten_cells(cs, g)
     ncells = g ** dim
 
     def scatter_chans(chans):
@@ -332,6 +355,7 @@ def _level_grids(pos, mass, ext, levels, order=1):
         # scatters profiled at ~7 ms EACH for 1M bodies on v5e (6 channels
         # = 42 ms of the N=1M bh step) — TPU scatter cost is per update
         # ROW, nearly independent of row width
+        flat = _flatten_cells(_cells(pos, ext, g), g)
         big = jnp.zeros((ncells, len(chans)), jnp.float32).at[flat].add(
             jnp.stack(chans, axis=1), mode="drop")
         return tuple(big[:, i] for i in range(len(chans)))
@@ -346,12 +370,9 @@ def _level_grids(pos, mass, ext, levels, order=1):
 
     # order 2: finest-level moments about each body's own cell center
     pairs = _moment_pairs(dim)
-    mins, csz = _cell_sizes(ext, g)
-    r = [pos[:, d] - (mins[d] + (cs[d].astype(jnp.float32) + 0.5) * csz[d])
-         for d in range(dim)]
-    chans = ([mass] + [mass * r[d] for d in range(dim)]
-             + [mass * r[a] * r[b] for a, b in pairs])
-    grids = {levels: scatter_chans(chans)}
+    if finest is None:
+        finest = _finest_moments_scatter(pos, mass, ext, levels)
+    grids = {levels: tuple(finest[:, i] for i in range(finest.shape[1]))}
     for l in range(levels - 1, 1, -1):
         s = 1 << (l + 1)                      # child grid side
         arrs = grids[l + 1]
@@ -1946,6 +1967,7 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
     S_full = max(neighbor_k, cap)
     jrows_core = None
     fslot = None
+    finest_mom = None
     if near == "slots":
         eff_pallas = pallas_near
         if eff_pallas:
@@ -1957,8 +1979,18 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
         plan = (slot_pack_plan(n, ncells, S_full, structure[4].shape[1])
                 if eff_pallas else None)
         if plan is not None:
-            jrows_core = build_jrows_pallas(
-                structure[4], starts, structure[3], n, ncells, S_full, plan)
+            # the far field's finest-level moments ride the pack kernel
+            # (in-VMEM reduction — kills the N-row scatter of
+            # _finest_moments_scatter, the most expensive grid op)
+            want_mom = far == "fmm" or order >= 2
+            if want_mom:
+                jrows_core, finest_mom = build_jrows_pallas(
+                    structure[4], starts, structure[3], n, ncells, S_full,
+                    plan, moments=(pos, mass, ext, levels))
+            else:
+                jrows_core = build_jrows_pallas(
+                    structure[4], starts, structure[3], n, ncells, S_full,
+                    plan)
             fslot = jrows_core[:, :, :cap].transpose(0, 2, 1)
         else:
             fslot = _build_slot_grid(structure[4], starts, structure[3],
@@ -1975,7 +2007,8 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
         # near kernel was A/B-measured SLOWER everywhere — r3 negative
         # result, see NEXT.md — this flat-shifted zero-gather pass is
         # already efficient.)
-        grids = _level_grids(pos, mass, ext, levels, order=2)
+        grids = _level_grids(pos, mass, ext, levels, order=2,
+                             finest=finest_mom)
         packed_finest = jnp.stack(grids[levels], axis=1)
         local_tab = _fmm_local_table(pos, mass, ext, levels, ring + 1, eps2,
                                      order, grids=grids)
@@ -2063,7 +2096,8 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
         # Build the level grids ONCE here and thread them through: the
         # completion closure runs inside _tiered's lax.cond, where XLA
         # cannot CSE a rebuild against the copy outside the conditional.
-        d_grids = _level_grids(pos, mass, ext, levels, order)
+        d_grids = _level_grids(pos, mass, ext, levels, order,
+                               finest=finest_mom if order >= 2 else None)
         fslots, fsidx = _far_force_cells(pos, mass, ext, levels, ring, eps2,
                                          order, structure, ci_cap=cap,
                                          chunk=c, cell_range=cell_range,
