@@ -713,6 +713,80 @@ def test_slot_pack_kernel_matches_gather(case):
     assert jnp.array_equal(ref, out)
 
 
+@pytest.mark.parametrize("case", [
+    (4096, 16, 8, False, 2),     # uniform 2-D quadtree (kernel path)
+    (4096, 8, 12, False, 3),     # uniform 3-D octree (kernel path)
+    (4096, 16, 8, True, 2),      # crowded cell -> uncapped-span fallback
+])
+def test_slot_pack_fused_moments_match_scatter(case):
+    """The slot-pack kernel's second output — order-2 finest-level FMM
+    moments reduced in VMEM via two HIGHEST-precision MXU matmuls against
+    the block membership mask (_pack_mom_kernel) — must reproduce the
+    N-row scatter `_finest_moments_scatter` it replaces, on BOTH cond
+    branches, to f32 sum-order tolerance (the kernel path accumulates in
+    sorted order vs the scatter's body-id order; the fallback IS the
+    scatter, but XLA orders duplicate-index scatter-add accumulation per
+    compilation, so even that branch is tolerance-comparable only).
+    Exactness requires the FULL cell populations resident (jrows caps at
+    S slots/cell; the moments must not), so the crowded case also pins
+    the tightened uncapped-span fit predicate: a hot cell past the static
+    capacity must select the fallback, not emit silently truncated
+    moments."""
+    import jax.numpy as jnp
+    from nbodyax.physics.barneshut import (_build_slot_grid, _extent,
+                                           _finest_moments_scatter,
+                                           _partner_structure)
+    from nbodyax.physics.slotpack_pallas import (SPAD, build_jrows_pallas,
+                                                 slot_pack_plan)
+    n, g, S, hot, dim = case
+    levels = g.bit_length() - 1
+    ncells = g ** dim
+    rng = np.random.RandomState(11)
+    # field-scale coordinates: the bf16-MXU rounding regression this kernel
+    # had (2^-9 * |center| ~ 400 swamping the ~cell-size offsets) only
+    # shows at |pos| >> cell size, so keep the scale realistic
+    pos = rng.uniform(-1e5, 1e5, (n, dim)).astype(np.float32)
+    mass = rng.uniform(1e4, 1e17, n).astype(np.float32)
+    mass[rng.rand(n) < 0.1] = 0.0                  # dead bodies
+    if hot:
+        # 95% of bodies in one finest cell: the uncapped block span must
+        # exceed the plan's static capacity (cap ~ 1.5 * mean span), which
+        # is what forces the scatter fallback
+        pos[: n - n // 16] = rng.uniform(-10, 10, (n - n // 16, dim))
+    vel = rng.uniform(-1, 1, (n, dim)).astype(np.float32)
+    radius = rng.uniform(50, 200, n).astype(np.float32)
+    ext = _extent(jnp.asarray(pos), jnp.asarray(mass) > 0)
+    _, _, starts, ends, sf = _partner_structure(
+        jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass),
+        jnp.asarray(radius), ext, g, False)
+    plan = slot_pack_plan(n, ncells, S, sf.shape[1])
+    assert plan is not None
+    # assert the INTENDED branch: the moments path's tightened fit
+    # predicate (whole uncapped block span + one alignment tile resident)
+    cb, cap = plan
+    rel = np.asarray(starts).reshape(-1, cb)
+    rel = rel - rel[:, :1]
+    cnt = np.asarray(ends - starts).reshape(-1, cb)
+    fits = (rel[:, -1].max() + 3 * SPAD <= cap) and \
+        ((rel[:, -1] + cnt[:, -1]).max() + SPAD <= cap)
+    assert fits == (not hot)
+    jrows, finest = build_jrows_pallas(
+        sf, starts, ends, n, ncells, S, plan,
+        moments=(jnp.asarray(pos), jnp.asarray(mass), ext, levels),
+        interpret=True)
+    ref_mom = _finest_moments_scatter(jnp.asarray(pos), jnp.asarray(mass),
+                                      ext, levels)
+    assert finest.shape == ref_mom.shape
+    scale = np.abs(np.asarray(ref_mom)).max(axis=0)   # per-channel scale
+    err = np.abs(np.asarray(finest) - np.asarray(ref_mom)).max(axis=0)
+    assert (err <= 2e-6 * np.maximum(scale, 1.0)).all()
+    # the jrows output must stay bitwise-equal to the gather on both paths
+    fslot = _build_slot_grid(sf, starts, ends, n, ncells, S)
+    ref_rows = jnp.pad(fslot.transpose(0, 2, 1),
+                       ((0, 0), (0, 0), (0, SPAD - S)))
+    assert jnp.array_equal(ref_rows, jrows)
+
+
 def test_slot_pack_declines_wide_feature_rows_3d_elastic():
     """3-D elastic packs 2*dim+4 = 10 feature lanes — more than the pack
     kernel's 8-sublane DMA buffer. slot_pack_plan must decline (gather
