@@ -166,7 +166,8 @@ def main(argv=None) -> int:
                     jrows_pad, mode="reference", eps2=eps2,
                     growth=jnp.float32(0.1), g=g, ring=args.ring,
                     dim=args.dim, S=S_full, ci=cap,
-                    L=structure0[4].shape[1])
+                    L=structure0[4].shape[1],
+                    eps_pos=float(cfg.softening) > 0)
                 return raw[0, 0] + raw[-1, -1]
 
     @jax.jit

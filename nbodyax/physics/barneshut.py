@@ -1111,12 +1111,21 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
             s_pad = -(-S // 128) * 128
             jrows = jnp.pad(fslot.transpose(0, 2, 1),
                             ((padc, padc), (0, 0), (0, s_pad - S)))
+        # eps2 is a concrete scalar whenever the config's softening was a
+        # Python float (the standard path) — promise eps_pos statically so
+        # the kernel drops its d2e > 0 singularity guards; a traced eps2
+        # falls back to the always-correct guarded path
+        try:
+            eps_pos = float(eps2) > 0.0
+        except (jax.errors.TracerArrayConversionError, TypeError):
+            eps_pos = False
         raw = slots_near_raw(jrows, mode=mode,
                              eps2=eps2, growth=growth_rate,
                              g=g, ring=ring, dim=dim, S=S, ci=ci_cap, L=L,
                              cell_base=cell_base,
                              ncells_eval=(0 if cell_range is None
-                                          else ncells_eval))
+                                          else ncells_eval),
+                             eps_pos=eps_pos)
         nslots = ncells_eval * ci_cap
         nlane = {"reference": dim + 3, "momentum": dim + 3,
                  "elastic": 2 * dim}.get(mode, dim)

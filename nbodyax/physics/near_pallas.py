@@ -95,7 +95,7 @@ def _koffs(g: int, ring: int, dim: int):
 
 def _near_kernel(eps2_ref, growth_ref, cbase_ref, jrows_hbm, out_ref, *,
                  mode: str, g: int, ring: int, dim: int, C: int,
-                 S: int, ci: int, L: int):
+                 S: int, ci: int, L: int, eps_pos: bool):
     """One block of C cells: i slots (the center row's first ci lanes per
     cell) vs all window rows.
 
@@ -233,22 +233,43 @@ def _near_kernel(eps2_ref, growth_ref, cbase_ref, jrows_hbm, out_ref, *,
                 rj = jval(rest + 1)
                 hi_j, lo_j = jval(rest + 2), jval(rest + 3)
 
-                alive = (mi > 0) & (mj > 0)
+                # The hot loop carries NO alive masks — the same maskless
+                # design as the exact kernel (kernels.py body_features):
+                # dead BODIES never reach the slot grid at all
+                # (_partner_structure sorts them into the trailing
+                # out-of-grid bucket), pad slots carry zero rows whose
+                # m_j = 0 / r_j = 0 make them inert through every channel
+                # (force/gm/elastic carry an m_j factor; gr adds r_j*growth
+                # = 0; died needs m_j > m_i which 0 never wins; momentum
+                # cand needs m_j to beat a live m_i), and pad *i* rows
+                # compute junk that the slot unsort never reads (it
+                # gathers only rank < occupancy slots and valid-masks the
+                # rest). Dropping the old (mi > 0) & (mj > 0) & ... chain
+                # + the eps_pos guards measured N=1M 3-D near kernel
+                # 0.103 -> 0.100 s (step 0.228 -> 0.225) with identical
+                # channel outputs on every referenced row.
                 notself = (hi_i != hi_j) | (lo_i != lo_j)
-                valid = alive & notself
 
                 dp = [b - a for a, b in zip(pis, pjs)]  # [C, ci, W] each
                 d2 = dp[0] * dp[0]
                 for c in dp[1:]:
                     d2 = d2 + c * c
                 rsum = ri + rj
-                overlap = (d2 <= rsum * rsum) & valid
+                overlap = (d2 <= rsum * rsum) & notself
 
-                fmask = valid if mode == "elastic" else (valid & ~overlap)
+                fmask = notself if mode == "elastic" else (notself & ~overlap)
                 d2e = d2 + eps2
-                safe = fmask & (d2e > 0)
-                inv = lax.rsqrt(jnp.where(safe, d2e, 1.0))
-                w = jnp.where(safe, mj * (inv * inv * inv), 0.0)
+                if eps_pos:
+                    # softened: d2e >= eps2 > 0 everywhere (incl. the
+                    # self-pair and all-zero pad rows), so rsqrt is finite
+                    # with no guard and junk rows stay NaN-free for
+                    # --debug-nans
+                    inv = lax.rsqrt(d2e)
+                    w = jnp.where(fmask, mj * (inv * inv * inv), 0.0)
+                else:
+                    safe = fmask & (d2e > 0)
+                    inv = lax.rsqrt(jnp.where(safe, d2e, 1.0))
+                    w = jnp.where(safe, mj * (inv * inv * inv), 0.0)
                 for d in range(dim):
                     acc["force"][d] = acc["force"][d] + jnp.sum(w * dp[d],
                                                                 axis=2)
@@ -291,7 +312,10 @@ def _near_kernel(eps2_ref, growth_ref, cbase_ref, jrows_hbm, out_ref, *,
                     vdotp = (jval(dim) - vis[0]) * dp[0]
                     for d in range(1, dim):
                         vdotp = vdotp + (jval(dim + d) - vis[d]) * dp[d]
-                    approaching = overlap & (vdotp < 0) & (d2 > 0)
+                    # vdotp < 0 alone excludes exact coincidence (there
+                    # dp = 0 so vdotp == 0 exactly — same argument as
+                    # kernels.py's elastic branch); no d2 > 0 gate needed
+                    approaching = overlap & (vdotp < 0)
                     # 2*m_j/(m_i+m_j) * vdotp/d2 via rsqrt-and-square
                     # (exact division costs many VPU ops; rsqrt^2 is ~2
                     # ulp — the same trade the exact kernel makes,
@@ -334,11 +358,11 @@ def _near_kernel(eps2_ref, growth_ref, cbase_ref, jrows_hbm, out_ref, *,
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "g", "ring", "dim", "S", "ci", "L",
-                     "ncells_eval", "interpret"))
+                     "ncells_eval", "interpret", "eps_pos"))
 def slots_near_raw(jrows, *, mode: str, eps2, growth,
                    g: int, ring: int, dim: int, S: int, ci: int, L: int,
                    cell_base=0, ncells_eval: int = 0,
-                   interpret: Optional[bool] = None):
+                   interpret: Optional[bool] = None, eps_pos: bool = False):
     """Near-field channel block for every (cell, i-slot) of the slot grid.
 
     jrows: f32[(g**dim + 2*padc), L, Spad] — the slot grid by cell,
@@ -352,6 +376,10 @@ def slots_near_raw(jrows, *, mode: str, eps2, growth,
     contiguous cell slice is evaluated: cell_base is a traced scalar (the
     shard's first cell), ncells_eval the static slice length; the slot
     grid stays global so windows cross shard boundaries.
+
+    ``eps_pos``: static promise that eps2 > 0, letting the hot loop drop
+    the d2e > 0 singularity guards (callers with a concrete softening pass
+    float(eps2) > 0; False always safe).
 
     Returns f32[ncells_eval or g**dim, NUM_CH * ci]: per-slot channels,
     LANE-MERGED channel-major per cell (lanes [k*ci, (k+1)*ci) hold
@@ -373,7 +401,7 @@ def slots_near_raw(jrows, *, mode: str, eps2, growth,
 
     kernel = functools.partial(
         _near_kernel, mode=mode, g=g, ring=ring, dim=dim, C=C,
-        S=S, ci=ci, L=L)
+        S=S, ci=ci, L=L, eps_pos=eps_pos)
 
     wpad = -(-W // 128) * 128
     flops_per_pair = 22 + 8 * (dim - 2)
