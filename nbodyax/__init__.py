@@ -24,6 +24,8 @@ Layer map (mirrors SURVEY.md section 7):
 - ``render``   — rasterizer + P5 writer.
 - ``io``       — checkpoint/resume.
 - ``metrics``  — conservation scalars, throughput meters, JSONL logging.
+- ``autodiff`` — differentiable rollouts (jax.grad through full steps;
+  no reference analog — the CUDA step is forward-only).
 - ``cli``      — end-to-end driver (the analog of the reference's main(),
   /root/reference/src/nbody.cu:373-551).
 """
@@ -38,3 +40,15 @@ def run_simulation(*args, **kwargs):
     """Lazy re-export of nbodyax.driver.run_simulation (imports JAX)."""
     from nbodyax.driver import run_simulation as _run
     return _run(*args, **kwargs)
+
+
+def rollout(*args, **kwargs):
+    """Lazy re-export of nbodyax.autodiff.rollout (imports JAX)."""
+    from nbodyax.autodiff import rollout as _ro
+    return _ro(*args, **kwargs)
+
+
+def make_loss(*args, **kwargs):
+    """Lazy re-export of nbodyax.autodiff.make_loss (imports JAX)."""
+    from nbodyax.autodiff import make_loss as _ml
+    return _ml(*args, **kwargs)
