@@ -127,6 +127,34 @@ def test_trajectory_loss_and_shapes():
     assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.abs(g).max()) > 0
 
 
+def test_grad_through_sharded_ring_matches_single_device():
+    # differentiable DISTRIBUTED simulation: reverse-mode flows through the
+    # shard_map ring step (XLA differentiates ppermute/psum natively) and
+    # must agree with the single-device gradient — same physics, different
+    # collective dataflow, f32 reduction-order noise only
+    from nbodyax.sharding.mesh import make_mesh
+    from nbodyax.sharding.ring import make_sharded_step
+
+    state = small_state(6)
+    cfg = SimConfig(particle_count=N, collision_mode="reference",
+                    backend="jnp", softening=5.0, shards=8,
+                    field_width=10_000, field_height=10_000)
+    p = PhysicsParams.from_config(cfg)
+    sstep = make_sharded_step(cfg, p, make_mesh(8))
+    lstep = small_step("reference")
+
+    def loss(step, pos):
+        s = state._replace(pos=pos)
+        for _ in range(3):
+            s = step(s)
+        return target_loss(s)
+
+    gs = jax.grad(lambda pos: loss(sstep, pos))(state.pos)
+    gl = jax.grad(lambda pos: loss(lstep, pos))(state.pos)
+    scale = float(jnp.abs(gl).max())
+    assert float(jnp.abs(gs - gl).max()) / scale < 1e-5
+
+
 def test_shooting_descends_under_jit():
     # the canonical adjoint use: steer body 0 onto a target by descending
     # the jitted gradient w.r.t. its initial velocity
