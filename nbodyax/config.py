@@ -176,6 +176,12 @@ class SimConfig:
                                           # of per-step host compaction
     checkpoint_every: int = 0             # 0 = disabled
     checkpoint_path: str = "checkpoints"
+    checkpoint_keep: int = 3              # retention: keep the newest k
+                                          # snapshots (0 = keep all); long
+                                          # runs otherwise accumulate ~100 MB
+                                          # per save (io/checkpoint.py)
+    checkpoint_milestone_every: int = 0   # snapshots at step multiples of m
+                                          # survive pruning (0 = none)
     auto_resume: bool = False             # on runtime failure, reload the
                                           # latest checkpoint and continue
     max_retries: int = 3                  # attempts when autoResume is on
@@ -219,6 +225,9 @@ class SimConfig:
                 raise ConfigError(
                     f"dtMin ({self.dt_min}) exceeds the effective dtMax "
                     f"({hi})")
+        if self.checkpoint_keep < 0 or self.checkpoint_milestone_every < 0:
+            raise ConfigError("checkpointKeep / checkpointMilestoneEvery "
+                              "must be >= 0")
         if self.energy_every:
             # the energy block only fires on log boundaries; enforce the
             # documented contract instead of silently logging nothing
@@ -304,6 +313,8 @@ _KEYS = {
     "compactEvery": ("compact_every", _stoi),
     "checkpointEvery": ("checkpoint_every", _stoi),
     "checkpointPath": ("checkpoint_path", lambda s, k: s.strip()),
+    "checkpointKeep": ("checkpoint_keep", _stoi),
+    "checkpointMilestoneEvery": ("checkpoint_milestone_every", _stoi),
     "autoResume": ("auto_resume", _bool),
     "maxRetries": ("max_retries", _stoi),
     "resumeFrom": ("resume_from", lambda s, k: s.strip()),

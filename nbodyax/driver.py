@@ -539,7 +539,10 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                            **scal)
             if cfg.checkpoint_every and \
                     iteration % cfg.checkpoint_every == 0:
-                save_checkpoint(cfg.checkpoint_path, state)
+                save_checkpoint(
+                    cfg.checkpoint_path, state,
+                    keep_last=cfg.checkpoint_keep,
+                    milestone_every=cfg.checkpoint_milestone_every)
             if cfg.compact_every and cfg.shards == 1 and \
                     iteration % cfg.compact_every == 0:
                 from nbodyax.state import compact_state

@@ -8,6 +8,14 @@ losslessly). Needed for the long 10k-step configs (BASELINE config 5).
 
 Files: ``{dir}/step_{step:09d}.npz`` holding pos/vel/mass/radius/step plus a
 format version. ``latest_checkpoint`` finds the newest by step number.
+
+Retention: long runs at checkpoint cadence would otherwise accumulate
+unbounded snapshots (a 10k-step N=4M run at checkpointEvery=100 writes ~10 GB
+of ~100 MB files). ``save_checkpoint`` therefore prunes after each save:
+keep the newest ``keep_last`` snapshots (default 3 via SimConfig; 0 = keep
+everything) plus every snapshot whose step is a multiple of
+``milestone_every`` (0 = no milestones). Pruning only ever deletes files
+matching the ``step_*.npz`` pattern in the checkpoint directory.
 """
 
 from __future__ import annotations
@@ -20,13 +28,15 @@ import numpy as np
 
 from nbodyax.state import SimState, make_state
 
-__all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint"]
+__all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint",
+           "prune_checkpoints"]
 
 _FORMAT_VERSION = 1
 _NAME_RE = re.compile(r"^step_(\d+)\.npz$")
 
 
-def save_checkpoint(directory: str, state: SimState) -> str:
+def save_checkpoint(directory: str, state: SimState, *,
+                    keep_last: int = 0, milestone_every: int = 0) -> str:
     os.makedirs(directory, exist_ok=True)
     step = int(np.asarray(state.step))
     path = os.path.join(directory, f"step_{step:09d}.npz")
@@ -40,7 +50,34 @@ def save_checkpoint(directory: str, state: SimState) -> str:
              step=np.int32(step),
              sim_time=np.float32(np.asarray(state.sim_time)))
     os.replace(tmp, path)
+    if keep_last:
+        prune_checkpoints(directory, keep_last=keep_last,
+                          milestone_every=milestone_every)
     return path
+
+
+def prune_checkpoints(directory: str, *, keep_last: int,
+                      milestone_every: int = 0) -> list[str]:
+    """Delete all but the newest ``keep_last`` snapshots (by step number);
+    snapshots at ``milestone_every`` multiples are always kept. The prune
+    runs AFTER each save, so a just-written snapshot is never deleted
+    (keep_last >= 1). Returns the deleted paths."""
+    if keep_last <= 0 or not os.path.isdir(directory):
+        return []
+    entries = []
+    for name in os.listdir(directory):
+        m = _NAME_RE.match(name)
+        if m:
+            entries.append((int(m.group(1)), name))
+    entries.sort()
+    deleted = []
+    for step, name in entries[:-keep_last]:
+        if milestone_every and step % milestone_every == 0:
+            continue
+        p = os.path.join(directory, name)
+        os.remove(p)
+        deleted.append(p)
+    return deleted
 
 
 def load_checkpoint(path: str) -> SimState:
