@@ -139,12 +139,16 @@ def main(argv=None) -> int:
                                                      slot_pack_plan)
         ncells0 = g ** args.dim
         S_full = max(args.k, cap)
-        plan = slot_pack_plan(n, ncells0, S_full)
+        ext0 = jax.jit(lambda p, m: _ext_fn(p, m > 0))(pos, mass)
+        structure0 = jax.jit(
+            lambda p, v, m, r: _partner_structure(
+                p, v, m, r, ext0, g, False))(pos, vel, mass, radius)
+        # pass the REAL feature width so the plan applies the same L > 8
+        # guard as the production call (barneshut.py:1988) — the probe is
+        # reference-mode (L = dim+4 <= 7) today, but a future elastic probe
+        # would otherwise crash the 8-sublane DMA buffer
+        plan = slot_pack_plan(n, ncells0, S_full, structure0[4].shape[1])
         if plan is not None:
-            ext0 = jax.jit(lambda p, m: _ext_fn(p, m > 0))(pos, mass)
-            structure0 = jax.jit(
-                lambda p, v, m, r: _partner_structure(
-                    p, v, m, r, ext0, g, False))(pos, vel, mass, radius)
 
             @jax.jit
             def slotpack_only(sf, starts, ends):

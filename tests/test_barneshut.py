@@ -374,7 +374,9 @@ def test_pallas_near_matches_jnp_slots(mode, dim, ring):
         x, y = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
         fin = np.isfinite(x)                     # -inf best_mass sentinels
         np.testing.assert_array_equal(fin, np.isfinite(y), err_msg=name)
-        err = np.max(np.abs(np.where(fin, x - y, 0.0)))
+        # mask BEFORE subtracting: -inf - -inf on the masked lanes would
+        # emit an invalid-value RuntimeWarning (nan) even though discarded
+        err = np.max(np.abs(np.where(fin, x, 0.0) - np.where(fin, y, 0.0)))
         assert err <= 2e-5 * max(1e-30, np.max(np.abs(np.where(fin, x, 0.0)))), \
             (name, err)
     np.testing.assert_array_equal(np.asarray(a.died), np.asarray(b.died))
@@ -714,9 +716,10 @@ def test_slot_pack_kernel_matches_gather(case):
 
 
 @pytest.mark.parametrize("case", [
-    (4096, 16, 8, False, 2),     # uniform 2-D quadtree (kernel path)
-    (4096, 8, 12, False, 3),     # uniform 3-D octree (kernel path)
-    (4096, 16, 8, True, 2),      # crowded cell -> uncapped-span fallback
+    (4096, 16, 8, False, 2, False),   # uniform 2-D quadtree (kernel path)
+    (4096, 8, 12, False, 3, False),   # uniform 3-D octree (kernel path)
+    (4096, 16, 8, True, 2, False),    # crowded cell -> uncapped-span fallback
+    (2048, 32, 6, False, 2, True),    # elastic feature layout (L = 2d+4)
 ])
 def test_slot_pack_fused_moments_match_scatter(case):
     """The slot-pack kernel's second output — order-2 finest-level FMM
@@ -738,7 +741,7 @@ def test_slot_pack_fused_moments_match_scatter(case):
                                            _partner_structure)
     from nbodyax.physics.slotpack_pallas import (SPAD, build_jrows_pallas,
                                                  slot_pack_plan)
-    n, g, S, hot, dim = case
+    n, g, S, hot, dim, need_vel = case
     levels = g.bit_length() - 1
     ncells = g ** dim
     rng = np.random.RandomState(11)
@@ -758,7 +761,7 @@ def test_slot_pack_fused_moments_match_scatter(case):
     ext = _extent(jnp.asarray(pos), jnp.asarray(mass) > 0)
     _, _, starts, ends, sf = _partner_structure(
         jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass),
-        jnp.asarray(radius), ext, g, False)
+        jnp.asarray(radius), ext, g, need_vel)
     plan = slot_pack_plan(n, ncells, S, sf.shape[1])
     assert plan is not None
     # assert the INTENDED branch: the moments path's tightened fit
@@ -812,54 +815,6 @@ def test_slot_pack_declines_wide_feature_rows_3d_elastic():
     assert bool(jnp.all(jnp.isfinite(acc.dv)))
 
 
-@pytest.mark.parametrize("case", [
-    (4096, 4, 8, False, 2, False),    # uniform 2-D
-    (4096, 4, 8, True, 2, False),     # crowded cells (fallback or tight fit)
-    (2048, 5, 6, False, 2, True),     # elastic feature layout (L = 2d+4)
-    (4096, 3, 12, False, 3, False),   # 3-D octree grid
-])
-def test_slot_pack_moments_match_scatter(case):
-    """The pack kernel's second output — order-2 finest-level FMM moments
-    reduced in VMEM via MXU matmuls against the cell-membership mask — must
-    match the N-row scatter (_finest_moments_scatter) to f32 reduction-order
-    tolerance, and the jrows output must stay bitwise equal to the gather
-    path. The crowded case exercises the tightened full-span fit predicate
-    (fallback branch = the scatter itself, trivially equal)."""
-    import jax.numpy as jnp
-    from nbodyax.physics.barneshut import (_build_slot_grid, _extent,
-                                           _finest_moments_scatter,
-                                           _partner_structure)
-    from nbodyax.physics.slotpack_pallas import (SPAD, build_jrows_pallas,
-                                                 slot_pack_plan)
-    n, levels, S, hot, dim, need_vel = case
-    g = 1 << levels
-    ncells = g ** dim
-    rng = np.random.RandomState(11)
-    pos = rng.uniform(-1000, 1000, (n, dim)).astype(np.float32)
-    mass = rng.uniform(1, 10, n).astype(np.float32)
-    mass[rng.rand(n) < 0.1] = 0.0                  # dead bodies
-    if hot:
-        pos[: n // 2] = rng.uniform(-10, 10, (n // 2, dim))
-    vel = rng.uniform(-1, 1, (n, dim)).astype(np.float32)
-    radius = rng.uniform(1, 2, n).astype(np.float32)
-    pos, vel = jnp.asarray(pos), jnp.asarray(vel)
-    mass, radius = jnp.asarray(mass), jnp.asarray(radius)
-    ext = _extent(pos, mass > 0)
-    _, _, starts, ends, sf = _partner_structure(pos, vel, mass, radius,
-                                                ext, g, need_vel)
-    plan = slot_pack_plan(n, ncells, S, L=sf.shape[1])
-    assert plan is not None
-    jr, finest = build_jrows_pallas(sf, starts, ends, n, ncells, S, plan,
-                                    moments=(pos, mass, ext, levels),
-                                    interpret=True)
-    fslot = _build_slot_grid(sf, starts, ends, n, ncells, S)
-    ref_jr = jnp.pad(fslot.transpose(0, 2, 1),
-                     ((0, 0), (0, 0), (0, SPAD - S)))
-    assert jnp.array_equal(ref_jr, jr)
-    ref_m = np.asarray(_finest_moments_scatter(pos, mass, ext, levels))
-    got = np.asarray(finest)
-    assert got.shape == ref_m.shape
-    scale = np.abs(ref_m).max(axis=0, keepdims=True)   # per-channel scale
-    assert np.abs(got - ref_m).max() < 1e-5 * scale.max()
-    assert np.allclose(got, ref_m, atol=1e-5 * scale.max(),
-                       rtol=1e-5)
+# (a second, near-duplicate moments-vs-scatter test once lived here; merged
+# into test_slot_pack_fused_moments_match_scatter above — its one unique
+# case, the elastic feature layout, rides that test's parametrization now)
