@@ -21,12 +21,13 @@ Design notes (TPU/JAX specifics):
   default: the backward pass rematerializes each step's pair pass from its
   carried SimState, making residual memory O(k * state) instead of
   O(k * pair intermediates) — the standard TPU trade of FLOPs for HBM.
-- Differentiability needs the ``jnp`` accumulator backend. The Pallas
-  kernels (physics/kernels.py, near_pallas.py) define no VJP: ``jax.grad``
-  through a ``backend="pallas"`` or ``forceModel=bh`` step raises inside
-  ``pallas_call``. The jnp oracle path is semantically identical (the
-  kernels are tested against it), just slower — gradients cost a constant
-  factor over it anyway, and N for adjoint problems is typically modest.
+- Both all-pairs backends differentiate: the ``jnp`` oracle natively, and
+  ``backend="pallas"`` through the analytic backward Pallas pass
+  (physics/kernels_bwd.py, wired with ``jax.custom_vjp`` in kernels.py) —
+  gradients are pinned equal between the two in every collision mode
+  (tests/test_autodiff.py), including through the sharded ring.
+  ``forceModel=bh`` steps remain forward-only (the tree build is
+  combinatorial); use the exact kernel for adjoint work.
 - Gradients are defined almost everywhere: collision masks, boundary flips
   and merge winner selection are step functions of the state, so their
   contribution to the derivative is zero (the events themselves don't

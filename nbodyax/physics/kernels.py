@@ -269,16 +269,66 @@ def tile_accumulators_raw(feats_i, feats_j_t, i_offset, j_offset, *,
     [N, 8] layout does not encode it). Returns (f32[Ni, NUM_CH], parent)
     where parent is i32[Ni, 8] (col 0 = parent id) in momentum mode and None
     otherwise.
+
+    Reverse-mode differentiable: a ``jax.custom_vjp`` routes cotangents on
+    the raw channels through the analytic backward Pallas pass
+    (physics/kernels_bwd.py), with gradient semantics matching ``jax.grad``
+    of the jnp oracle (zero-gradient events, alive/self gating — see that
+    module's docstring).
     """
     ni, nj = feats_i.shape[0], feats_j_t.shape[1]
     tile_i = min(tile_i, max(8, ni))
     tile_j = min(tile_j, max(128, nj))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _raw(feats_i, feats_j_t,
+                jnp.asarray(i_offset, jnp.int32),
+                jnp.asarray(j_offset, jnp.int32),
+                mode, float(eps), float(growth_rate), int(tile_i),
+                int(tile_j), bool(interpret), dim)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _raw(feats_i, feats_j_t, i_offset, j_offset, mode, eps, growth_rate,
+         tile_i, tile_j, interpret, dim):
+    """custom_vjp core: the forward Pallas sweep (primal) with the analytic
+    backward pass of kernels_bwd.py as its VJP."""
+    return _raw_impl(feats_i, feats_j_t, i_offset, j_offset, mode, eps,
+                     growth_rate, tile_i, tile_j, interpret, dim)
+
+
+def _raw_fwd(feats_i, feats_j_t, i_offset, j_offset, mode, eps, growth_rate,
+             tile_i, tile_j, interpret, dim):
+    out = _raw_impl(feats_i, feats_j_t, i_offset, j_offset, mode, eps,
+                    growth_rate, tile_i, tile_j, interpret, dim)
+    # residuals: the (cheap) inputs — pair quantities rematerialize in the
+    # backward kernel — plus the momentum parent block, which routes the
+    # best-mass cotangent without re-running the argmax
+    return out, (feats_i, feats_j_t, i_offset, j_offset, out[1])
+
+
+def _raw_bwd(mode, eps, growth_rate, tile_i, tile_j, interpret, dim,
+             res, g):
+    from nbodyax.physics.kernels_bwd import raw_backward
+    feats_i, feats_j_t, i_offset, j_offset, parent = res
+    d_fi, d_fjt = raw_backward(
+        feats_i, feats_j_t, i_offset, j_offset, parent, g[0], mode=mode,
+        eps=eps, growth_rate=growth_rate, tile_i=tile_i, tile_j=tile_j,
+        interpret=interpret, dim=dim)
+    f0 = lambda x: np.zeros(np.shape(x), jax.dtypes.float0)  # int offsets
+    return d_fi, d_fjt, f0(i_offset), f0(j_offset)
+
+
+_raw.defvjp(_raw_fwd, _raw_bwd)
+
+
+def _raw_impl(feats_i, feats_j_t, i_offset, j_offset, mode, eps, growth_rate,
+              tile_i, tile_j, interpret, dim):
+    ni, nj = feats_i.shape[0], feats_j_t.shape[1]
     ni_pad = -(-ni // tile_i) * tile_i
     nj_pad = -(-nj // tile_j) * tile_j
     feats_i = _pad_to(feats_i, ni_pad, 0)       # pad rows: mass 0 => dead
     feats_j_t = _pad_to(feats_j_t, nj_pad, 1)
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
 
     grid = (ni_pad // tile_i, nj_pad // tile_j)
     kernel = functools.partial(

@@ -159,6 +159,11 @@ def pair_accumulators_chunk(pi, vi, mi, ri, ii, pos, vel, mass, radius, jj, *,
         vdotp = jnp.sum(rel * dp, axis=-1)
         approaching = overlap & (vdotp < 0) & (d2 > 0)
         msum = mi[:, None] + mass[None, :]
+        # double-where: a dead-dead pair has msum == 0; its lane is masked
+        # (approaching is False there) so the VALUE is 0 either way, but
+        # jax.grad through where(mask, 0/0, 0) is NaN unless the masked
+        # branch is finite — guard the denominator like d2 below
+        msum = jnp.where(msum > 0, msum, 1.0)
         coef = jnp.where(approaching,
                          2.0 * mass[None, :] / msum * vdotp
                          / jnp.where(d2 > 0, d2, 1.0),

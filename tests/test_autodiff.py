@@ -155,6 +155,125 @@ def test_grad_through_sharded_ring_matches_single_device():
     assert float(jnp.abs(gs - gl).max()) / scale < 1e-5
 
 
+# ---------------------------------------------------------------------------
+# Pallas-backend VJP (physics/kernels_bwd.py via jax.custom_vjp in kernels.py)
+# ---------------------------------------------------------------------------
+
+def _accum_grads(fn, state, mode, eps, dim):
+    """Grads of a channel-weighted scalar of the accumulators w.r.t. every
+    differentiable state leaf — exercises force, gained mass/radius, dv and
+    best-mass cotangents at once."""
+    k = jnp.arange(state.pos.size, dtype=jnp.float32).reshape(state.pos.shape)
+
+    def loss(pos, vel, mass, radius):
+        acc = fn(pos, vel, mass, radius, eps=eps, growth_rate=0.1, mode=mode)
+        out = jnp.sum(acc.force * jnp.cos(k))
+        out = out + jnp.sum(acc.gained_mass) * 1e-12
+        out = out + jnp.sum(acc.gained_radius)
+        out = out + jnp.sum(acc.dv * jnp.sin(k))
+        bm = acc.best_mass
+        return out + 1e-12 * jnp.sum(jnp.where(jnp.isfinite(bm), bm, 0.0))
+
+    return jax.grad(loss, argnums=(0, 1, 2, 3))(
+        state.pos, state.vel, state.mass, state.radius)
+
+
+@pytest.mark.parametrize("mode,eps,dim", [
+    ("none", 5.0, 2), ("reference", 0.0, 2), ("reference", 5.0, 3),
+    ("momentum", 0.0, 2), ("elastic", 0.0, 2), ("elastic", 5.0, 3)])
+def test_pallas_vjp_matches_jnp(mode, eps, dim):
+    # the analytic backward Pallas pass must reproduce jax.grad of the jnp
+    # oracle exactly (same event gating, incl. dead-body pairs): interpret
+    # mode on CPU, overlapping radii so every collision channel carries
+    # signal, two dead bodies so alive-gating is exercised
+    from nbodyax.physics.kernels import pallas_pair_accumulators
+
+    state = small_state(11, dim=dim, overlapping=True)
+    state = state._replace(mass=state.mass.at[3].set(0.0).at[7].set(0.0))
+    gj = _accum_grads(pair_accumulators, state, mode, eps, dim)
+    gp = _accum_grads(pallas_pair_accumulators, state, mode, eps, dim)
+    for name, a, b in zip(("pos", "vel", "mass", "radius"), gj, gp):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(a)), (mode, name, "jnp grad not finite")
+        scale = max(np.abs(a).max(), 1e-30)
+        err = np.abs(a - b).max() / scale
+        assert err < 3e-6, (mode, eps, dim, name, err)
+
+
+@pytest.mark.parametrize("mode", ["reference", "momentum", "elastic"])
+def test_pallas_rollout_grad_matches_jnp(mode):
+    # full 4-step rollout (collisions + boundary + integrator): gradients
+    # w.r.t. initial pos/vel/mass through the Pallas backend == jnp backend
+    from functools import partial
+
+    from nbodyax.physics.kernels import pallas_pair_accumulators
+
+    cfg = SimConfig(particle_count=N, collision_mode=mode, backend="jnp",
+                    softening=5.0, field_width=10_000, field_height=10_000)
+    p = PhysicsParams.from_config(cfg)
+    state = small_state(2, overlapping=True)
+    steps = {
+        "jnp": make_step(p, accum_fn=partial(
+            pair_accumulators, eps=p.eps, growth_rate=p.growth_rate,
+            mode=mode)),
+        "pallas": make_step(p, accum_fn=partial(
+            pallas_pair_accumulators, eps=p.eps, growth_rate=p.growth_rate,
+            mode=mode))}
+    grads = {}
+    for name, step in steps.items():
+        loss = make_loss(step, 4, target_loss)
+        grads[name] = (
+            jax.grad(lambda x: loss(state._replace(pos=x)))(state.pos),
+            jax.grad(lambda x: loss(state._replace(vel=x)))(state.vel),
+            jax.grad(lambda x: loss(state._replace(mass=x)))(state.mass))
+    for leaf, a, b in zip(("pos", "vel", "mass"),
+                          grads["jnp"], grads["pallas"]):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-30)
+        assert np.abs(a - b).max() / scale < 5e-6, (mode, leaf)
+        assert np.abs(a).max() > 0, (mode, leaf, "zero gradient")
+
+
+@pytest.mark.parametrize("mode", ["reference", "elastic"])
+def test_grad_through_sharded_pallas_ring(mode):
+    # the custom VJP composes with shard_map/ppermute: distributed Pallas
+    # gradients == single-device jnp gradients (f32 reduction noise only)
+    from nbodyax.sharding.mesh import make_mesh
+    from nbodyax.sharding.ring import make_sharded_step
+
+    state = small_state(6)
+    cfg = SimConfig(particle_count=N, collision_mode=mode, backend="pallas",
+                    softening=5.0, shards=8,
+                    field_width=10_000, field_height=10_000)
+    p = PhysicsParams.from_config(cfg)
+    sstep = make_sharded_step(cfg, p, make_mesh(8))
+    lstep = small_step(mode)
+
+    def loss(step, pos):
+        s = state._replace(pos=pos)
+        for _ in range(3):
+            s = step(s)
+        return target_loss(s)
+
+    gs = jax.grad(lambda pos: loss(sstep, pos))(state.pos)
+    gl = jax.grad(lambda pos: loss(lstep, pos))(state.pos)
+    scale = float(jnp.abs(gl).max())
+    assert float(jnp.abs(gs - gl).max()) / scale < 1e-5
+
+
+def test_elastic_grad_finite_with_dead_bodies():
+    # regression: the oracle's elastic coef divided by msum = m_i + m_j,
+    # which is 0/0 on dead-dead pairs — masked in the VALUE but NaN in the
+    # GRADIENT until the double-where guard (pairwise.py)
+    step = small_step("elastic")
+    state = small_state(4, overlapping=True)
+    state = state._replace(mass=state.mass.at[0].set(0.0).at[5].set(0.0))
+    loss = make_loss(step, 3, target_loss)
+    g = jax.grad(lambda pos: loss(state._replace(pos=pos)))(state.pos)
+    gm = jax.grad(lambda m: loss(state._replace(mass=m)))(state.mass)
+    assert bool(jnp.all(jnp.isfinite(g))) and bool(jnp.all(jnp.isfinite(gm)))
+
+
 def test_shooting_descends_under_jit():
     # the canonical adjoint use: steer body 0 onto a target by descending
     # the jitted gradient w.r.t. its initial velocity
