@@ -216,16 +216,6 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
     start_step = int(np.asarray(state.step))
 
     if cfg.shards > 1:
-        if cfg.compact_every:
-            # compaction changes capacity, which would resize every shard's
-            # slice mid-run; the sharded engines run at fixed capacity, so
-            # the knob is a no-op there — say so instead of silently keeping
-            # full-capacity cost forever on a merging run
-            import warnings
-            warnings.warn(
-                "compactEvery is ignored when shards > 1: sharded state "
-                "keeps its fixed capacity (dead slots are masked, not "
-                "compacted)")
         from nbodyax.sharding.mesh import (make_mesh, maybe_init_distributed,
                                            pad_to_shards, shard_state)
         maybe_init_distributed()
@@ -518,6 +508,10 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                             host_loop = getattr(step, "_host_loop", False)
                             runners.clear()
                             snap_runners.clear()
+                            # the dynamic-trip-count runner also closed over
+                            # the OLD step at trace time; same shapes would
+                            # never retrace it, silently dropping the adapt
+                            dyn_runner.clear()
                             if not quiet:
                                 print(f"bh adapt at step {iteration}: {new}")
                 if cfg.energy_every and iteration % cfg.energy_every == 0:
@@ -543,15 +537,30 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                     cfg.checkpoint_path, state,
                     keep_last=cfg.checkpoint_keep,
                     milestone_every=cfg.checkpoint_milestone_every)
-            if cfg.compact_every and cfg.shards == 1 and \
-                    iteration % cfg.compact_every == 0:
+            if cfg.compact_every and iteration % cfg.compact_every == 0:
                 from nbodyax.state import compact_state
+                # sharded states compact too: compact_state's np.asarray
+                # gathers the shards to host; a smaller bucket is re-padded
+                # to the shard count and re-placed on the mesh. The gather
+                # is O(state) host traffic at a coarse cadence — amortized
+                # noise next to the O(capacity^2/P) pair math it shrinks
+                # (the reference compacts EVERY step, nbody.cu:488-510).
                 new_state = compact_state(state)
                 if new_state.capacity != state.capacity:
                     if not quiet:
                         print(f"Compacted {state.capacity} -> "
                               f"{new_state.capacity} slots "
                               f"(reference analog: nbody.cu:488-510)")
+                    if cfg.shards > 1:
+                        new_state = shard_state(
+                            pad_to_shards(new_state, cfg.shards), mesh)
+                        # the sharded step functions bake capacity-derived
+                        # choices (dispatch budgets, bh caps) at build time
+                        step = build_step(cfg, capacity=new_state.capacity)
+                        host_loop = getattr(step, "_host_loop", False)
+                        runners.clear()
+                        snap_runners.clear()
+                        dyn_runner.clear()
                     state = new_state
                     meter.capacity = state.capacity
     finally:

@@ -84,7 +84,9 @@ def compact_state(state: SimState, *, min_capacity: int = 256,
     stay static per bucket (log2-bounded recompiles instead of the reference's
     every-step realloc). Order of survivors is preserved, so physics
     accumulators are unchanged up to tile-boundary f32 regrouping. Returns the
-    input unchanged if no smaller bucket fits. Host-side; single-shard states.
+    input unchanged if no smaller bucket fits. Host-side; the np.asarray
+    reads gather sharded states to host (the driver re-pads + re-shards the
+    compacted result when shards > 1).
     """
     mass = np.asarray(state.mass)
     alive_idx = np.flatnonzero(mass > 0)

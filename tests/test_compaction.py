@@ -69,3 +69,28 @@ def test_driver_compacts(tmp_path):
     # dense overlapping scene merges aggressively; capacity must have shrunk
     assert res.state.capacity < 512
     assert alive_count(res.state) <= res.state.capacity
+
+
+def test_driver_compacts_sharded():
+    """Sharded compaction (gather -> compact -> re-pad -> re-shard): a
+    merging 8-shard run shrinks capacity mid-run and its surviving bodies
+    match the single-device compacted run's exactly (same scene, same
+    physics; f32 reduction-order noise only)."""
+    from nbodyax.driver import run_simulation
+    kw = dict(particle_count=512, total_iterations=30,
+              field_width=2000, field_height=2000,
+              save_images=False, log_every=0, compact_every=10,
+              backend="jnp")
+    res1 = run_simulation(SimConfig(**kw), quiet=True)
+    res8 = run_simulation(SimConfig(shards=8, **kw), quiet=True)
+    assert res8.state.capacity < 512
+    m1, m8 = np.asarray(res1.state.mass), np.asarray(res8.state.mass)
+    live1, live8 = m1 > 0, m8 > 0
+    assert live1.sum() == live8.sum()
+    np.testing.assert_allclose(m8[live8], m1[live1], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(res8.state.pos)[live8],
+                               np.asarray(res1.state.pos)[live1],
+                               rtol=1e-5, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(res8.state.vel)[live8],
+                               np.asarray(res1.state.vel)[live1],
+                               rtol=1e-5, atol=1e-4)

@@ -367,17 +367,21 @@ def test_bh_adapt_off_pins_knobs(tmp_path, capsys):
     assert "bh adapt" not in capsys.readouterr().out
 
 
-def test_compact_every_warns_when_sharded(tmp_path):
-    """compactEvery is a no-op at shards>1 (capacity is fixed per shard);
-    the driver must say so instead of silently never compacting."""
+def test_compact_every_works_when_sharded(tmp_path):
+    """compactEvery at shards>1 gathers, compacts, and re-shards (it used
+    to be a warned no-op); the run must not warn and must finish with live
+    bodies intact. (The physics-equivalence pin vs the single-device
+    compacted run lives in test_compaction.py.)"""
     import warnings
 
     cfg = base_cfg(tmp_path, particle_count=128, total_iterations=2,
                    shards=8, compact_every=1, log_every=0)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        run_simulation(cfg, quiet=True)
-    assert any("compactEvery is ignored" in str(x.message) for x in w)
+        res = run_simulation(cfg, quiet=True)
+    assert not any("compactEvery" in str(x.message) for x in w)
+    from nbodyax.state import alive_count
+    assert alive_count(res.state) > 0
 
 
 def test_driver_sharded_end_to_end(tmp_path):
