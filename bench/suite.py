@@ -8,8 +8,9 @@ Run: ``python -m bench.suite [--configs 1,2,4] [--out bench/results.json]``
 | 2 | N=16k elastic bounce                       | momentum/energy conservation |
 | 3 | N=131k reference merging, long horizon     | drift vs oracle, alive decay |
 | 4 | N=1M single-chip fused pass                | pairs/s/chip (the headline)  |
-| 5 | galaxy collision (2M single-chip share)    | steps/s + 8-way ring         |
-|   |                                            | validated on a virtual mesh  |
+| 5 | N=4M galaxy collision, forceModel=bh, auto | steps/s (+ exact-kernel      |
+|   | knobs (BASELINE.json workload) + 8-way     | pairs/s secondary) + ring    |
+|   | ring check on a virtual mesh (subprocess)  | dryrun exit status           |
 
 Each config reports steps/sec and pairwise interactions/sec. Steps are driven
 in on-device chunks (lax.fori_loop) so host/relay dispatch overhead doesn't
@@ -198,25 +199,59 @@ def config4_million_single_chip():
             "target_1e11": n * n / dt >= 1e11}
 
 
-def config5_galaxy_4m(steps=1):
-    """N=4M galaxy-collision scenario on one chip via the split-dispatch step
-    (a monolithic 4M execution trips the relay's watchdog; split x4 measures
-    1.17e11 pairs/s). The BASELINE 8-way ring (512k bodies/chip) is validated
-    on a virtual CPU mesh (tests/test_ring.py, __graft_entry__.dryrun_multichip)."""
+def config5_galaxy_4m(steps=5):
+    """BASELINE config 5 as written: the N=4M galaxy-collision scenario.
+
+    Three measurements in one entry:
+    - PRIMARY: the production engine for this scene — ``forceModel=bh`` with
+      auto knobs (what the 10k-step soak runs; bench/soak4m_10k_r4.json is the
+      full-horizon record) — steps/s + equivalent-exact pairs/s.
+    - SECONDARY: the exact all-pairs split-dispatch step (a monolithic 4M
+      execution trips the relay's watchdog) — true pairwise pairs/s.
+    - RING: the BASELINE 8-way sharding (512k bodies/chip, ppermute ring) run
+      in a subprocess on a virtual 8-device CPU mesh
+      (``__graft_entry__.dryrun_multichip`` — one real sharded train step,
+      reduced N), since this host exposes a single physical chip.
+    """
+    import subprocess
+    import sys
     from nbodyax.config import SimConfig
     from nbodyax.driver import build_step
     from nbodyax.scenes import init_scene
 
+    workload = ("N=4M sharded over v5e-8 via ring all-gather of position "
+                "tiles; galaxy-collision scenario, 10k steps")
     cfg = SimConfig(particle_count=4_194_304, scene="galaxy",
-                    collision_mode="reference", softening=100.0)
+                    collision_mode="reference", softening=100.0,
+                    force_model="bh")
     state = init_scene(cfg, parity=False)
     step = build_step(cfg)
     state, dt = _time_steps(step, state, steps=steps, chunk=1)
+
+    cfg_exact = SimConfig(particle_count=4_194_304, scene="galaxy",
+                          collision_mode="reference", softening=100.0)
+    state_e = init_scene(cfg_exact, parity=False)
+    step_e = build_step(cfg_exact)
+    state_e, dt_e = _time_steps(step_e, state_e, steps=1, chunk=1)
+
+    t0 = time.perf_counter()
+    ring = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+    ring_wall = round(time.perf_counter() - t0, 1)
+
     n = state.capacity
-    return {"config": 5, "n": n, "steps_per_sec": 1 / dt,
-            "pairs_per_sec": n * n / dt,
+    return {"config": 5, "n": n, "workload": workload,
+            "force_model": "bh", "steps_per_sec": 1 / dt,
+            "equivalent_exact_pairs_per_sec": n * n / dt,
+            "exact_split_steps_per_sec": 1 / dt_e,
+            "exact_split_pairs_per_sec": n * n / dt_e,
             "finite": bool(np.isfinite(np.asarray(state.pos)).all()),
-            "note": "single-chip 4M via split dispatches; 8-way ring validated on virtual mesh"}
+            "ring_dryrun_8dev_ok": ring.returncode == 0,
+            "ring_dryrun_wall_s": ring_wall,
+            "note": "10k-step horizon executed by bench.soak10k "
+                    "(bench/soak4m_10k_r4.json)"}
 
 
 def config6_bh_million():

@@ -23,3 +23,25 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
+
+import pytest  # noqa: E402
+
+# Module-level tier markers (registered in pyproject.toml). Per-test `slow`
+# marks live in the test files; these module-wide ones are centralized here so
+# the batch recipe in CLAUDE.md has a single source of truth:
+#   fast tier:  python -m pytest tests/ -m "not slow"        (<5 min, CI per-push)
+#   full suite: sequential batches per CLAUDE.md             (~20 min, CI nightly)
+_MODULE_MARKS = {
+    "test_barneshut": [pytest.mark.barneshut],
+    "test_sharded_bh": [pytest.mark.sharded, pytest.mark.barneshut],
+    "test_ring": [pytest.mark.sharded],
+    "test_multihost": [pytest.mark.sharded],
+    "test_split_step": [pytest.mark.sharded],
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        stem = os.path.splitext(os.path.basename(str(item.fspath)))[0]
+        for mark in _MODULE_MARKS.get(stem, ()):
+            item.add_marker(mark)

@@ -27,15 +27,26 @@ CONFIGS = [
     # sparse: default-scene field, 100 steps of pure gravity (long horizon)
     ("ref_n64_sparse", 64, 100, 100000, 100000, "1e4", "1e17", "50", "200",
      "0.1", "0.2", 1024),
+    # BASELINE config 1 scale: N=1024 on the default-scene field, 200 steps —
+    # long-horizon end-to-end parity at the N the BASELINE row certifies
+    # (merges + near-encounters happen; see test_golden.py for the staged
+    # tolerance rationale)
+    ("ref_n1k", 1024, 200, 100000, 100000, "1e4", "1e17", "50", "200",
+     "0.1", "0.2", 1024),
 ]
 
 
-# frame fixture: the dense scene rendered by the oracle's serial
+# frame fixtures: scenes rendered by the oracle's serial
 # generateImage/saveImageToDisk implementation (nbody.cu:294-371 semantics).
 # 512x512 on the 5000-field makes max r_px ~20 (disc diameter > the
 # rasterizer's default 32-pixel patch after growth), so the oversized-disc
-# dense pass is exercised too.
-FRAMES = ("ref_frames_n64", CONFIGS[0], 512, 512, 5)
+# dense pass is exercised too. The n1k frames pin rendering at BASELINE
+# config-1 scale (default field: sub-pixel radii exercise the 1-pixel dot
+# path, nbody.cu:323-347 bounding-box degenerate case).
+FRAMES = [
+    ("ref_frames_n64", CONFIGS[0], 512, 512, 5),
+    ("ref_frames_n1k", CONFIGS[2], 512, 512, 50),
+]
 
 
 def build():
@@ -61,10 +72,10 @@ def run(name, n, steps, fw, fh, min_m, max_m, min_r, max_r, growth, dt, seed):
           f"{(mass[-1] > 0).sum()}/{n}")
 
 
-def run_frames():
+def run_frames(spec):
     import tempfile
 
-    name, cfg, img_w, img_h, every = FRAMES
+    name, cfg, img_w, img_h, every = spec
     (_, n, steps, fw, fh, min_m, max_m, min_r, max_r, growth, dt, seed) = cfg
     with tempfile.TemporaryDirectory() as td:
         raw_path = os.path.join(td, "traj.raw")
@@ -90,7 +101,16 @@ def run_frames():
 
 
 if __name__ == "__main__":
+    # optional argv name filter, e.g. `python gen_ref_golden.py ref_n1k` —
+    # regenerates only matching fixtures (the committed N=64 fixtures are
+    # byte-pinned history; don't churn them when adding a new config)
+    import sys
+
+    only = set(sys.argv[1:])
     build()
     for c in CONFIGS:
-        run(*c)
-    run_frames()
+        if not only or c[0] in only:
+            run(*c)
+    for spec in FRAMES:
+        if not only or spec[0] in only:
+            run_frames(spec)

@@ -2,6 +2,7 @@
 reference's pixel math (/root/reference/src/nbody.cu:294-371)."""
 
 import numpy as np
+import pytest
 
 from nbodyax.render import BACKGROUND, pgm_bytes, rasterize, write_pgm
 
@@ -85,7 +86,13 @@ def test_rasterize_oversized_discs_render_complete():
     np.testing.assert_array_equal(got, want)
 
 
-def test_rasterize_matches_external_cpp_fixture_frames():
+@pytest.mark.parametrize("frames_name,traj_name", [
+    ("ref_frames_n64", "ref_n64_dense"),
+    # BASELINE config-1 scale on the default field: sub-pixel radii (max
+    # r_px ~1) exercise the degenerate 1-pixel bounding-box path
+    ("ref_frames_n1k", "ref_n1k"),
+])
+def test_rasterize_matches_external_cpp_fixture_frames(frames_name, traj_name):
     """EXTERNAL render goldens: frames produced by the compiled C++ oracle
     (tests/golden/ref_oracle.cpp render_frame — an independent serial
     implementation of generateImage+saveImageToDisk, nbody.cu:294-371),
@@ -95,8 +102,8 @@ def test_rasterize_matches_external_cpp_fixture_frames():
     import os
 
     here = os.path.dirname(os.path.abspath(__file__))
-    fx = np.load(os.path.join(here, "golden", "ref_frames_n64.npz"))
-    traj = np.load(os.path.join(here, "golden", "ref_n64_dense.npz"))
+    fx = np.load(os.path.join(here, "golden", frames_name + ".npz"))
+    traj = np.load(os.path.join(here, "golden", traj_name + ".npz"))
     img_w, img_h = (int(v) for v in fx["img"])
     field_w, field_h = (int(v) for v in fx["field"])
     assert [int(v) for v in traj["field"]] == [field_w, field_h]
