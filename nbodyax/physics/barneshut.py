@@ -1104,13 +1104,18 @@ def _near_field_cells(pos, vel, mass, radius, ext, levels, ring, eps2,
         # narrow gathers A/B-measured 3x slower) transposed per cell, slot
         # lanes zero-padded to the manual-DMA alignment unit (128) — pad
         # slots are mass 0, inert through every channel
+        # feature rows padded to the 8-sublane tile in the same copy as the
+        # cell pad: the kernel's leading-dim DMA slice requires the trailing
+        # dims tile-aligned (slots_near_raw would otherwise re-pad = a
+        # second full-grid HBM copy per step)
+        l_pad = -(-L // 8) * 8
         if _jrows is not None:
             # slot-pack kernel output is already [ncells, L, 128] cell-major
-            jrows = jnp.pad(_jrows, ((padc, padc), (0, 0), (0, 0)))
+            jrows = jnp.pad(_jrows, ((padc, padc), (0, l_pad - L), (0, 0)))
         else:
             s_pad = -(-S // 128) * 128
             jrows = jnp.pad(fslot.transpose(0, 2, 1),
-                            ((padc, padc), (0, 0), (0, s_pad - S)))
+                            ((padc, padc), (0, l_pad - L), (0, s_pad - S)))
         # eps2 is a concrete scalar whenever the config's softening was a
         # Python float (the standard path) — promise eps_pos statically so
         # the kernel drops its d2e > 0 singularity guards; a traced eps2

@@ -350,7 +350,12 @@ def _near_kernel(eps2_ref, growth_ref, cbase_ref, jrows_hbm, out_ref, *,
 
     pl.run_scoped(
         body,
-        pltpu.VMEM((3, C + 2 * ring, L, spad), jnp.float32),
+        # sublane dim mirrors the (8-aligned) HBM layout, not the logical
+        # L: Mosaic requires the leading-dim DMA slice's trailing dims to
+        # fill whole (8, 128) tiles — slicing a [cells, 6, Spad] grid is
+        # rejected ("slice shape along dimension 1 must be aligned to
+        # tiling (8)"); feature reads index f < L either way
+        pltpu.VMEM((3, C + 2 * ring, jrows_hbm.shape[1], spad), jnp.float32),
         pltpu.SemaphoreType.DMA((3,)),
     )
 
@@ -398,6 +403,13 @@ def slots_near_raw(jrows, *, mode: str, eps2, growth,
         interpret = jax.default_backend() != "tpu"
 
     C = block_cells(ncells, ci, W)
+
+    # the in-kernel leading-dim DMA slice needs the trailing [feature,
+    # slot-lane] dims tile-aligned: pad features to the 8-sublane unit
+    # (no-op when the caller fused this into its cell pad — the fast path)
+    lpad = -(-L // 8) * 8
+    if jrows.shape[1] != lpad:
+        jrows = jnp.pad(jrows, ((0, 0), (0, lpad - jrows.shape[1]), (0, 0)))
 
     kernel = functools.partial(
         _near_kernel, mode=mode, g=g, ring=ring, dim=dim, C=C,
