@@ -44,6 +44,11 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default="")
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--checkpoint-every", type=int, default=100)
+    # the galaxy collision merges ~90% of the 4M bodies inside the first
+    # ~100 steps (alive 4.19M -> 0.4M measured); without compaction the bh
+    # grid pays full-capacity cost for the whole horizon. 200 = the bucketed
+    # compaction cadence (log2-bounded recompiles, state.compact_state)
+    ap.add_argument("--compact-every", type=int, default=200)
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -65,6 +70,7 @@ def main(argv=None) -> int:
         log_every=args.log_every, log_path=log_path,
         checkpoint_every=args.checkpoint_every, checkpoint_path=ck_path,
         checkpoint_keep=3, checkpoint_milestone_every=2000,
+        compact_every=args.compact_every,
         auto_resume=True, max_retries=5)
 
     ck = latest_checkpoint(ck_path)
