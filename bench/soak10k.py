@@ -49,6 +49,10 @@ def main(argv=None) -> int:
     # grid pays full-capacity cost for the whole horizon. 200 = the bucketed
     # compaction cadence (log2-bounded recompiles, state.compact_state)
     ap.add_argument("--compact-every", type=int, default=200)
+    ap.add_argument("--partial-ok", action="store_true",
+                    help="write the --out record even before the full "
+                         "horizon (steps_total then reflects progress; a "
+                         "later resumed invocation overwrites it)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -101,7 +105,7 @@ def main(argv=None) -> int:
     else:
         end_step = resumed_from
 
-    if end_step >= args.total and args.out:
+    if args.out and (end_step >= args.total or args.partial_ok):
         _summarize(args, log_path, stage_log, ck_path)
     return 0
 
@@ -125,10 +129,15 @@ def _summarize(args, log_path, stage_log, ck_path):
     # blips are healed by bhAdapt's next window; see driver.py adapt block)
     persistent = sum(1 for i in range(1, len(overflow))
                      if overflow[i] and overflow[i - 1])
-    wall = sum(s["wall_s"] for s in stages)
+    # wall from the JSONL windows (wall_ms = metered per-step wall), not the
+    # stage records: a stage killed mid-run (shell timeout / worker death
+    # before autoResume) writes no stage record but its windows are logged
+    wall = sum(r["wall_ms"] * args.log_every / 1000.0 for r in rows)
     record = {
         "bench": "soak10k_config5", "n": args.n, "force_model": "bh",
         "scene": "galaxy", "steps_total": steps[-1] if steps else 0,
+        "partial": bool(steps and steps[-1] < args.total),
+        "horizon": args.total,
         "log_points": len(rows),
         "resume_boundaries": max(0, len(stages) - 1),
         "auto_resume_retries_visible": sum(

@@ -51,6 +51,17 @@ def _run_k(step, state, k):
 # uninterruptible device time — watchdogs kill it; see make_split_step)
 MAX_PAIRS_PER_DISPATCH = 4.5e12
 
+# fused multi-step windows are ALSO wall-bounded: the pair budget above
+# guards one step's dispatch, but a cadence-sized window (lax.fori_loop over
+# k steps) multiplies it — a 50-step bh window at 4M capacity with adapted
+# (wide-K) knobs measured past the ~2-min execution watchdog and killed the
+# TPU worker. Windows are clipped to the wall predicted from the LAST
+# window's metered per-step time; right after any step (re)build — fresh
+# process, bhAdapt retune — no estimate exists and heavy runs take one
+# small bootstrap window to measure first.
+MAX_WINDOW_SECONDS = 75.0
+BOOTSTRAP_WINDOW_STEPS = 8
+
 
 def resolve_bh_config(cfg: SimConfig, capacity: int = 0,
                       state: Optional[SimState] = None,
@@ -370,6 +381,9 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
     windows = 0
+    # last window's metered per-step wall; None right after any step
+    # (re)build = "unmeasured regime" (see MAX_WINDOW_SECONDS)
+    est_step_wall = None
     # bhAdapt persistence trackers: overflow below the noise floor adapts
     # on the SECOND consecutive nonzero health check (see the adapt block)
     prev_overflow = prev_dropped = 0.0
@@ -384,6 +398,21 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
             # is off-cadence) re-aligns naturally, and coprime cadences
             # produce O(events) windows instead of gcd=1 per-step dispatch
             k = next_window(iteration)
+            # wall-budget clip (MAX_WINDOW_SECONDS): a cadence-sized fused
+            # window can outlive the device execution watchdog; predict
+            # from the last window's metered per-step wall, and take one
+            # small bootstrap window in unmeasured heavy regimes (a fresh
+            # or re-built step whose first window includes its compile —
+            # the inflated estimate then self-corrects in one window)
+            if est_step_wall is None:
+                if cfg.force_model == "bh" and state.capacity >= (1 << 20):
+                    k = min(k, BOOTSTRAP_WINDOW_STEPS)
+            elif est_step_wall > 0:
+                k = min(k, max(1, int(MAX_WINDOW_SECONDS / est_step_wall)))
+            if writer is not None and k_img and iteration % k_img == 0:
+                # frame windows stay frame-aligned after the clip (the
+                # in-window rasterizes land at iteration + m*k_img)
+                k = max(k_img, k - k % k_img)
             windows += 1
             log_due = cfg.log_every and (iteration + k) % cfg.log_every == 0
             if writer is not None and iteration % cfg.save_image_every == 0:
@@ -393,7 +422,7 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                 meter.start()
                 state, imgs, vec = advance_frame_window(state, k)
                 v = np.asarray(vec)     # fences the window (see advance_k)
-                meter.stop(None, steps=k)
+                est_step_wall = meter.stop(None, steps=k) / k
                 for m, img in enumerate(imgs):
                     writer.submit(iteration + m * k_img, img)  # async write
                 frames += len(imgs)
@@ -401,7 +430,7 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                 meter.start()
                 state, vec = advance_k(state, k)
                 v = np.asarray(vec)     # fences the window (see advance_k)
-                meter.stop(None, steps=k)
+                est_step_wall = meter.stop(None, steps=k) / k
             iteration += k
             if log_due:
                 scal = scalars_from_vec(v, cfg.dimensions)
@@ -512,6 +541,10 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                             # the OLD step at trace time; same shapes would
                             # never retrace it, silently dropping the adapt
                             dyn_runner.clear()
+                            # adapted knobs (wider K, finer grid) can be a
+                            # multiple of the old per-step cost: re-measure
+                            # before trusting a cadence-sized window
+                            est_step_wall = None
                             if not quiet:
                                 print(f"bh adapt at step {iteration}: {new}")
                 if cfg.energy_every and iteration % cfg.energy_every == 0:

@@ -323,8 +323,13 @@ def build_jrows_pallas(sf, starts, ends, n: int, ncells: int, S: int,
     nm = 1 + dim + dim * (dim + 1) // 2
     nmp = 8 if nm <= 8 else 16
     cnt2d = (ends - starts).reshape(nprog, cb)
-    # whole uncapped block span resident after the <=127-lane align shift
-    fits = fits & (jnp.max(rel2d[:, -1] + cnt2d[:, -1]) + SPAD <= cap)
+    # whole uncapped block span resident after the <=127-lane align shift —
+    # a TIGHTER predicate than the jrows one (the pack output is S-capped,
+    # the moment reduction is not), so it gets its own nested cond below: a
+    # hot cell only demotes the moment reduction to the scatter while jrows
+    # keeps the pack kernel (clustered scenes — merged galaxy cores — break
+    # exactly this predicate while the capped jrows span still fits)
+    fits_m = fits & (jnp.max(rel2d[:, -1] + cnt2d[:, -1]) + SPAD <= cap)
     rc_tab = jnp.stack([rel2d, cnt2d], axis=1).astype(jnp.int32)
     # per-cell centers, the exact expression of _finest_moments_scatter
     # (mins + (c + 0.5) * csz); flat ids are row-major with x fastest, so
@@ -344,9 +349,19 @@ def build_jrows_pallas(sf, starts, ends, n: int, ncells: int, S: int,
                                  dim=dim, nmp=nmp, interpret=interpret)
         return jr, mom[:, :nm]
 
+    def jrows_only(a):
+        # hot cell broke only the uncapped-span (moment) predicate: keep
+        # the pack kernel for jrows, take the scatter for the moments
+        jr = _pack_call(a[0], a[1], a[2], a[3], ncells=ncells, L=L,
+                        cb=cb, cap=cap, interpret=interpret)
+        return jr, _finest_moments_scatter(pos, mass, ext, levels)
+
+    def pack_branch(a):
+        return lax.cond(fits_m, kernel_branch, jrows_only, a)
+
     def fallback(a):
         return gather_prep(a), _finest_moments_scatter(pos, mass, ext,
                                                        levels)
 
-    return lax.cond(fits, kernel_branch, fallback,
+    return lax.cond(fits, pack_branch, fallback,
                     operands + (rc_tab, ctr_tab))

@@ -719,6 +719,8 @@ def test_slot_pack_kernel_matches_gather(case):
     (4096, 16, 8, False, 2, False),   # uniform 2-D quadtree (kernel path)
     (4096, 8, 12, False, 3, False),   # uniform 3-D octree (kernel path)
     (4096, 16, 8, True, 2, False),    # crowded cell -> uncapped-span fallback
+    (4096, 16, 8, "last", 2, False),  # block-LAST hot cell -> jrows keeps
+                                      # the pack kernel, moments scatter
     (2048, 32, 6, False, 2, True),    # elastic feature layout (L = 2d+4)
 ])
 def test_slot_pack_fused_moments_match_scatter(case):
@@ -751,10 +753,19 @@ def test_slot_pack_fused_moments_match_scatter(case):
     pos = rng.uniform(-1e5, 1e5, (n, dim)).astype(np.float32)
     mass = rng.uniform(1e4, 1e17, n).astype(np.float32)
     mass[rng.rand(n) < 0.1] = 0.0                  # dead bodies
-    if hot:
-        # 95% of bodies in one finest cell: the uncapped block span must
-        # exceed the plan's static capacity (cap ~ 1.5 * mean span), which
-        # is what forces the scatter fallback
+    if hot == "last":
+        # 95% of bodies in the LAST finest cell (max corner -> highest flat
+        # id -> last cell of the last 128-cell block): its own count breaks
+        # only the moments' uncapped-span predicate — later cells' starts
+        # are unaffected — so the nested cond must keep the pack kernel for
+        # jrows while the moments take the scatter (the galaxy-core regime
+        # ADVICE r3 item 4 flags)
+        pos[: n - n // 16] = rng.uniform(
+            9.5e4, 1e5, (n - n // 16, dim))
+    elif hot:
+        # 95% of bodies in one MID-BLOCK finest cell: the inflated starts
+        # of every later cell in the block break the jrows predicate too —
+        # the whole build takes the gather + scatter fallback
         pos[: n - n // 16] = rng.uniform(-10, 10, (n - n // 16, dim))
     vel = rng.uniform(-1, 1, (n, dim)).astype(np.float32)
     radius = rng.uniform(50, 200, n).astype(np.float32)
@@ -770,9 +781,11 @@ def test_slot_pack_fused_moments_match_scatter(case):
     rel = np.asarray(starts).reshape(-1, cb)
     rel = rel - rel[:, :1]
     cnt = np.asarray(ends - starts).reshape(-1, cb)
-    fits = (rel[:, -1].max() + 3 * SPAD <= cap) and \
-        ((rel[:, -1] + cnt[:, -1]).max() + SPAD <= cap)
-    assert fits == (not hot)
+    fits_j = rel[:, -1].max() + 3 * SPAD <= cap
+    fits_m = fits_j and (rel[:, -1] + cnt[:, -1]).max() + SPAD <= cap
+    assert (fits_j, fits_m) == {False: (True, True),
+                                "last": (True, False),
+                                True: (False, False)}[hot]
     jrows, finest = build_jrows_pallas(
         sf, starts, ends, n, ncells, S, plan,
         moments=(jnp.asarray(pos), jnp.asarray(mass), ext, levels),
