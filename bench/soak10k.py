@@ -46,9 +46,11 @@ def main(argv=None) -> int:
     ap.add_argument("--checkpoint-every", type=int, default=100)
     # the galaxy collision merges ~90% of the 4M bodies inside the first
     # ~100 steps (alive 4.19M -> 0.4M measured); without compaction the bh
-    # grid pays full-capacity cost for the whole horizon. 200 = the bucketed
-    # compaction cadence (log2-bounded recompiles, state.compact_state)
-    ap.add_argument("--compact-every", type=int, default=200)
+    # grid pays full-capacity cost for the whole horizon. 100 matches the
+    # merger timescale, and the driver additionally compacts EARLY whenever
+    # the live count guarantees a capacity halving (driver.py early
+    # trigger), so the cadence is only the steady-state backstop.
+    ap.add_argument("--compact-every", type=int, default=100)
     ap.add_argument("--partial-ok", action="store_true",
                     help="write the --out record even before the full "
                          "horizon (steps_total then reflects progress; a "

@@ -62,6 +62,19 @@ MAX_PAIRS_PER_DISPATCH = 4.5e12
 MAX_WINDOW_SECONDS = 75.0
 BOOTSTRAP_WINDOW_STEPS = 8
 
+# merger-phase ("drift") hardening for bh+bhAdapt runs: while the live count
+# is falling fast or the last health probe saw overflow, the probe runs at
+# every WINDOW boundary (one cheap dispatch) instead of every log point, K
+# widens with headroom past the measured need, and windows clip short — so
+# adaptation outpaces the density drift. Probing only at log cadence let a
+# 4M-galaxy merger accumulate 424k bodies (23% of alive) over the partner
+# cap inside one 50-step probe gap (bench r4 soak), i.e. that many bodies
+# silently skipped collision physics; the reference evaluates every pair
+# unconditionally (/root/reference/src/nbody.cu:196-226).
+DRIFT_WINDOW_STEPS = 16
+DRIFT_ALIVE_FRAC = 0.005   # probe when alive dropped >0.5% since last probe
+DRIFT_K_HEADROOM = 1.5     # widen K past the measured need while drifting
+
 
 def resolve_bh_config(cfg: SimConfig, capacity: int = 0,
                       state: Optional[SimState] = None,
@@ -234,7 +247,15 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
         state = shard_state(pad_to_shards(state, cfg.shards), mesh)
 
     # density-aware bh knob resolution against the actual starting state;
-    # the driver needs the resolved cfg itself (bh_health / bhAdapt below)
+    # the driver needs the resolved cfg itself (bh_health / bhAdapt below).
+    # Which knobs the USER left auto is remembered so compaction can
+    # re-resolve them against the shrunken population (levels/K/compCap
+    # sized for dead capacity would otherwise persist until an overflow
+    # forces an adapt).
+    auto_knobs = {"bh_levels": cfg.bh_levels == 0,
+                  "bh_near": cfg.bh_near == "auto",
+                  "bh_neighbor_k": cfg.bh_neighbor_k == 0,
+                  "bh_comp_cap": cfg.bh_comp_cap == 0}
     cfg = resolve_bh_config(cfg, capacity=state.capacity, state=state,
                             quiet=quiet)
 
@@ -385,10 +406,132 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
     # (re)build = "unmeasured regime" (see MAX_WINDOW_SECONDS)
     est_step_wall = None
     # bhAdapt persistence trackers: overflow below the noise floor adapts
-    # on the SECOND consecutive nonzero health check (see the adapt block)
+    # on the SECOND consecutive nonzero health check (see bh_probe_adapt)
     prev_overflow = prev_dropped = 0.0
+    # drift detector state (see DRIFT_WINDOW_STEPS): alive count at the
+    # last health probe, and whether the run is in the merger-phase regime
+    last_probe_alive = None
+    drift_mode = False
+    if cfg.force_model == "bh" and cfg.bh_adapt:
+        # seed the detector so the FIRST windows of a merging run already
+        # trigger per-window probes (one scalar fetch at startup)
+        import jax.numpy as jnp
+        last_probe_alive = float(jnp.sum(state.mass > 0))
     prev_sim_time = float(np.asarray(state.sim_time))
     prev_log_iter = start_step
+
+    def bh_probe_adapt(s, alive_now, at_step):
+        """One ``bh_health`` dispatch+fetch plus the bhAdapt response
+        ladder. Runs at every log point, and — while ``drift_mode`` is on
+        or the live count just dropped fast — at every window boundary, so
+        adaptation outpaces merger-phase density drift instead of sampling
+        it at log cadence (a 50-step probe gap accumulated 424k bodies
+        over the partner cap in the 4M galaxy merger, bench r4). Returns
+        the fetched health vector for the log line."""
+        nonlocal cfg, step, host_loop, est_step_wall
+        nonlocal prev_overflow, prev_dropped, drift_mode, last_probe_alive
+        from nbodyax.physics.barneshut import bh_health
+        # [partner-cap overflow, completion-budget overflow, max radius,
+        # min span, count-aware minimal partner cap, completion-pass
+        # population] in one dispatch+fetch: h[0]+h[1] bodies are invisible
+        # to the near field this step
+        h = np.asarray(bh_health(
+            s.pos, s.mass, s.radius,
+            levels=cfg.bh_levels, neighbor_k=cfg.bh_neighbor_k,
+            ring=cfg.bh_ring, near=cfg.bh_near, comp_cap=cfg.bh_comp_cap))
+        dropping = (last_probe_alive is not None
+                    and alive_now < last_probe_alive
+                    * (1.0 - DRIFT_ALIVE_FRAC))
+        last_probe_alive = alive_now
+        if not cfg.bh_adapt:
+            return h
+        # self-tuning between windows (bounded recompiles):
+        # collapsing/merging runs drift out of any fixed (levels, K)
+        # envelope — widen K to the probe's count-aware minimal cap on
+        # partner-cap overflow (one recompile makes the near field exact
+        # again; overflow is a binary collision-physics error, so ANY
+        # persistent overflow adapts, with a one-check delay below the
+        # 64-body noise floor so a single transient body crossing a cell
+        # boundary doesn't buy a multi-minute recompile), refine levels on
+        # completion-budget overflow, coarsen levels when grown radii
+        # outrun the ring's collision coverage (approximation 1/2 in
+        # barneshut's docstring)
+        new = {}
+        noise = max(64.0, 1e-3 * alive_now)
+        persistent = h[0] > noise or (h[0] > 0 and prev_overflow > 0)
+        prev_overflow = h[0]
+        if persistent:
+            if cfg.bh_near == "slots":
+                # the slots cap is max(K, slot_cap): raising K below that
+                # floor is a no-op
+                from nbodyax.physics.barneshut import slot_cap
+                eff = max(cfg.bh_neighbor_k, slot_cap(
+                    s.capacity, (1 << cfg.bh_levels) ** cfg.dimensions))
+            else:
+                eff = cfg.bh_neighbor_k
+            want = int(h[4])
+            if dropping or h[0] > noise:
+                # drift headroom: an exact-at-probe-time cap is outgrown
+                # within the next window while cells are still collapsing
+                # — widen PAST the measured minimum so one recompile holds
+                # through continued drift (bench r4: equality-sized caps
+                # re-overflowed at every probe of the merger)
+                want = int(want * DRIFT_K_HEADROOM)
+            need = min(1024, 8 * -(-want // 8))
+            if eff < need:
+                # widen straight to the (headroom-padded) measured need; a
+                # guard on the EFFECTIVE cap: when slot_cap already covers
+                # it, raising the config K changes nothing and would cost
+                # a futile multi-minute recompile
+                new["bh_neighbor_k"] = need
+        cell = h[3] / (1 << cfg.bh_levels)
+        # refinement respects the dimension-aware grid cap (3-D octrees
+        # cap at 7 levels: 2^(3*8) cells would blow the documented
+        # VMEM/HBM budget — same bound config.validate() enforces)
+        max_adapt_lv = 7 if cfg.dimensions == 3 else 10
+        if 2.0 * h[2] > cfg.bh_ring * cell and cfg.bh_levels > 2:
+            new["bh_levels"] = cfg.bh_levels - 1
+        elif ((h[1] > noise or (h[1] > 0 and prev_dropped > 0))
+                and "bh_neighbor_k" not in new):
+            # crowded cells past slot_cap AND the per-body completion
+            # budget: any persistent drop adapts (those bodies get NO
+            # physics at all), same policy as widening. Response ladder:
+            # when the budget was RIGHT-SIZED by pick_levels (small
+            # static list for a small population) and drift merely
+            # outgrew it, re-widen it toward the default ~n/16 first
+            # (cheap recompile); reach for a finer grid only when the
+            # population itself is default-budget-scale, and at the
+            # level cap widen past the default instead (+12.5% slack,
+            # 1024-tiered — mirrors pick_levels' startup choice)
+            pop = int(h[5])
+            need_comp = min(s.capacity, 1024 * -(-(pop + pop // 8) // 1024))
+            default_comp = min(s.capacity, max(1024, s.capacity // 16))
+            if cfg.bh_comp_cap and need_comp <= default_comp:
+                new["bh_comp_cap"] = need_comp
+            elif cfg.bh_levels < max_adapt_lv:
+                new["bh_levels"] = cfg.bh_levels + 1
+            elif need_comp > (cfg.bh_comp_cap or default_comp):
+                new["bh_comp_cap"] = need_comp
+        prev_dropped = h[1]
+        if new:
+            from dataclasses import replace as _dc
+            cfg = _dc(cfg, **new)
+            step = build_step(cfg, capacity=s.capacity)
+            host_loop = getattr(step, "_host_loop", False)
+            runners.clear()
+            snap_runners.clear()
+            # the dynamic-trip-count runner also closed over the OLD step
+            # at trace time; same shapes would never retrace it, silently
+            # dropping the adapt
+            dyn_runner.clear()
+            # adapted knobs (wider K, finer grid) can be a multiple of the
+            # old per-step cost: re-measure before trusting a
+            # cadence-sized window
+            est_step_wall = None
+            if not quiet:
+                print(f"bh adapt at step {at_step}: {new}")
+        drift_mode = bool(dropping or (h[0] + h[1]) > 0)
+        return h
     try:
         iteration = start_step
         while iteration < cfg.total_iterations:
@@ -409,10 +552,20 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                     k = min(k, BOOTSTRAP_WINDOW_STEPS)
             elif est_step_wall > 0:
                 k = min(k, max(1, int(MAX_WINDOW_SECONDS / est_step_wall)))
-            if writer is not None and k_img and iteration % k_img == 0:
-                # frame windows stay frame-aligned after the clip (the
-                # in-window rasterizes land at iteration + m*k_img)
-                k = max(k_img, k - k % k_img)
+            if drift_mode:
+                # merger phase: short windows so the per-window health
+                # probe below samples the drift, not its aftermath
+                k = min(k, DRIFT_WINDOW_STEPS)
+            if (writer is not None and k_img and iteration % k_img == 0
+                    and k >= k_img):
+                # frame windows stay frame-aligned after the clips — but
+                # only ever rounded DOWN: rounding up to k_img would (1)
+                # run past total_iterations on short tails, (2) skip
+                # finer-cadence log/checkpoint events, (3) defeat the
+                # wall clip above. A clipped k < k_img stays as-is:
+                # advance_frame_window renders the one due frame at the
+                # window start and next_window re-aligns the successor.
+                k -= k % k_img
             windows += 1
             log_due = cfg.log_every and (iteration + k) % cfg.log_every == 0
             if writer is not None and iteration % cfg.save_image_every == 0:
@@ -432,6 +585,18 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                 v = np.asarray(vec)     # fences the window (see advance_k)
                 est_step_wall = meter.stop(None, steps=k) / k
             iteration += k
+            win_step_wall = est_step_wall  # this window's metered wall
+            alive_now = float(v[0])
+            if (cfg.force_model == "bh" and not log_due
+                    and iteration < cfg.total_iterations
+                    and cfg.bh_adapt
+                    and (drift_mode or (last_probe_alive is not None
+                         and alive_now < last_probe_alive
+                         * (1.0 - DRIFT_ALIVE_FRAC)))):
+                # off-cadence drift probe: the conservation vec already
+                # rode this window's dispatch, so detecting the merger
+                # phase costs nothing; the probe itself is one dispatch
+                bh_probe_adapt(state, alive_now, iteration)
             if log_due:
                 scal = scalars_from_vec(v, cfg.dimensions)
                 if cfg.adaptive_dt:
@@ -443,110 +608,8 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                 prev_sim_time = scal["sim_time"]
                 prev_log_iter = iteration
                 if cfg.force_model == "bh":
-                    from nbodyax.physics.barneshut import bh_health
-                    # [partner-cap overflow, completion-budget overflow,
-                    # max radius, min span] in one dispatch+fetch: bodies
-                    # invisible to the near field this step (raise
-                    # bhNeighborK / bhLevels if this is ever nonzero)
-                    h = np.asarray(bh_health(
-                        state.pos, state.mass, state.radius,
-                        levels=cfg.bh_levels, neighbor_k=cfg.bh_neighbor_k,
-                        ring=cfg.bh_ring, near=cfg.bh_near,
-                        comp_cap=cfg.bh_comp_cap))
+                    h = bh_probe_adapt(state, alive_now, iteration)
                     scal["bh_overflow"] = int(h[0] + h[1])
-                    if cfg.bh_adapt:
-                        # self-tuning between windows (bounded recompiles):
-                        # collapsing/merging runs drift out of any fixed
-                        # (levels, K) envelope — widen K to the probe's
-                        # count-aware minimal cap on partner-cap overflow
-                        # (one recompile makes the near field exact again;
-                        # overflow is a binary collision-physics error, so
-                        # ANY persistent overflow adapts, with a one-check
-                        # delay below the 64-body noise floor so a single
-                        # transient body crossing a cell boundary doesn't
-                        # buy a multi-minute recompile), refine levels on
-                        # completion-budget overflow, coarsen levels when
-                        # grown radii outrun the ring's collision coverage
-                        # (approximation 1/2 in barneshut's docstring)
-                        new = {}
-                        noise = max(64.0, 1e-3 * scal["alive"])
-                        persistent = h[0] > noise or (
-                            h[0] > 0 and prev_overflow > 0)
-                        prev_overflow = h[0]
-                        if persistent:
-                            if cfg.bh_near == "slots":
-                                # the slots cap is max(K, slot_cap):
-                                # raising K below that floor is a no-op
-                                from nbodyax.physics.barneshut import \
-                                    slot_cap
-                                eff = max(cfg.bh_neighbor_k, slot_cap(
-                                    state.capacity,
-                                    (1 << cfg.bh_levels) ** cfg.dimensions))
-                            else:
-                                eff = cfg.bh_neighbor_k
-                            need = min(1024, 8 * -(-int(h[4]) // 8))
-                            if eff < need:
-                                # widen straight to the measured minimum
-                                # (h[4]); a guard on the EFFECTIVE cap:
-                                # when slot_cap already covers the need,
-                                # raising the config K changes nothing and
-                                # would cost a futile multi-minute recompile
-                                new["bh_neighbor_k"] = need
-                        cell = h[3] / (1 << cfg.bh_levels)
-                        # refinement respects the dimension-aware grid cap
-                        # (3-D octrees cap at 7 levels: 2^(3*8) cells would
-                        # blow the documented VMEM/HBM budget — same bound
-                        # config.validate() enforces)
-                        max_adapt_lv = 7 if cfg.dimensions == 3 else 10
-                        if 2.0 * h[2] > cfg.bh_ring * cell \
-                                and cfg.bh_levels > 2:
-                            new["bh_levels"] = cfg.bh_levels - 1
-                        elif ((h[1] > noise
-                               or (h[1] > 0 and prev_dropped > 0))
-                                and "bh_neighbor_k" not in new):
-                            # crowded cells past slot_cap AND the per-body
-                            # completion budget: any persistent drop adapts
-                            # (those bodies get NO physics at all), same
-                            # policy as widening. Response ladder: when the
-                            # budget was RIGHT-SIZED by pick_levels (small
-                            # static list for a small population) and drift
-                            # merely outgrew it, re-widen it toward the
-                            # default ~n/16 first (cheap recompile); reach
-                            # for a finer grid only when the population
-                            # itself is default-budget-scale, and at the
-                            # level cap widen past the default instead
-                            # (+12.5% slack, 1024-tiered — mirrors
-                            # pick_levels' startup choice)
-                            pop = int(h[5])
-                            need_comp = min(state.capacity, 1024 * -(
-                                -(pop + pop // 8) // 1024))
-                            default_comp = min(state.capacity, max(
-                                1024, state.capacity // 16))
-                            if cfg.bh_comp_cap and need_comp <= default_comp:
-                                new["bh_comp_cap"] = need_comp
-                            elif cfg.bh_levels < max_adapt_lv:
-                                new["bh_levels"] = cfg.bh_levels + 1
-                            elif need_comp > (cfg.bh_comp_cap
-                                              or default_comp):
-                                new["bh_comp_cap"] = need_comp
-                        prev_dropped = h[1]
-                        if new:
-                            from dataclasses import replace as _dc
-                            cfg = _dc(cfg, **new)
-                            step = build_step(cfg, capacity=state.capacity)
-                            host_loop = getattr(step, "_host_loop", False)
-                            runners.clear()
-                            snap_runners.clear()
-                            # the dynamic-trip-count runner also closed over
-                            # the OLD step at trace time; same shapes would
-                            # never retrace it, silently dropping the adapt
-                            dyn_runner.clear()
-                            # adapted knobs (wider K, finer grid) can be a
-                            # multiple of the old per-step cost: re-measure
-                            # before trusting a cadence-sized window
-                            est_step_wall = None
-                            if not quiet:
-                                print(f"bh adapt at step {iteration}: {new}")
                 if cfg.energy_every and iteration % cfg.energy_every == 0:
                     # O(N^2) pair potential: opt-in, at its own (coarser)
                     # cadence — as expensive as a force pass
@@ -558,8 +621,12 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                 # rate as *equivalent*-exact so the JSONL is self-describing
                 pairs_key = ("equivalent_pairs_per_sec"
                              if cfg.force_model == "bh" else "pairs_per_sec")
+                # wall_ms = THIS window's metered per-step wall (not the
+                # cumulative running average, which smears the first
+                # window's multi-minute remote compile into every row)
                 logger.log(step=iteration,
-                           wall_ms=meter.elapsed / meter.steps * 1e3,
+                           wall_ms=(win_step_wall if win_step_wall
+                                    else meter.elapsed / meter.steps) * 1e3,
                            steps_per_sec=meter.steps_per_sec,
                            force_model=cfg.force_model,
                            **{pairs_key: meter.pairs_per_sec},
@@ -570,7 +637,18 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                     cfg.checkpoint_path, state,
                     keep_last=cfg.checkpoint_keep,
                     milestone_every=cfg.checkpoint_milestone_every)
-            if cfg.compact_every and iteration % cfg.compact_every == 0:
+            compact_due = (cfg.compact_every
+                           and iteration % cfg.compact_every == 0)
+            if cfg.compact_every and not compact_due:
+                # merger-phase early trigger: compact as soon as the live
+                # count guarantees at least a halving (compact_state's
+                # bucket is the pow-2 above alive*1.25, so alive*2.5 <=
+                # capacity implies a strictly smaller bucket) — waiting
+                # for the cadence multiple made the r4 soak pay full
+                # 4.19M-capacity structure cost through the whole merger
+                compact_due = (alive_now * 2.5 <= state.capacity
+                               and state.capacity > 256)
+            if compact_due and iteration < cfg.total_iterations:
                 from nbodyax.state import compact_state
                 # sharded states compact too: compact_state's np.asarray
                 # gathers the shards to host; a smaller bucket is re-padded
@@ -584,16 +662,35 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                         print(f"Compacted {state.capacity} -> "
                               f"{new_state.capacity} slots "
                               f"(reference analog: nbody.cu:488-510)")
+                    if cfg.force_model == "bh" and any(auto_knobs.values()):
+                        # re-resolve the USER-auto bh knobs against the
+                        # compacted population: levels/K/compCap sized for
+                        # the dead capacity (or adapt-widened during the
+                        # merger) would otherwise persist until the next
+                        # overflow forces an adapt
+                        import dataclasses as _dcs
+                        reset = {kk: ("auto" if kk == "bh_near" else 0)
+                                 for kk, on in auto_knobs.items() if on}
+                        cfg = _dcs.replace(cfg, **reset)
+                        cfg = resolve_bh_config(
+                            cfg, capacity=new_state.capacity,
+                            state=new_state, quiet=quiet)
+                        prev_overflow = prev_dropped = 0.0
                     if cfg.shards > 1:
                         new_state = shard_state(
                             pad_to_shards(new_state, cfg.shards), mesh)
-                        # the sharded step functions bake capacity-derived
-                        # choices (dispatch budgets, bh caps) at build time
-                        step = build_step(cfg, capacity=new_state.capacity)
-                        host_loop = getattr(step, "_host_loop", False)
-                        runners.clear()
-                        snap_runners.clear()
-                        dyn_runner.clear()
+                    # capacity-derived choices (split n_splits, bh caps,
+                    # dispatch budgets) bake at build time — rebuild on
+                    # ANY capacity change, single-device included (a stale
+                    # n_splits kept a 4M->400k compaction paying 4
+                    # dispatches per step)
+                    step = build_step(cfg, capacity=new_state.capacity)
+                    host_loop = getattr(step, "_host_loop", False)
+                    runners.clear()
+                    snap_runners.clear()
+                    dyn_runner.clear()
+                    est_step_wall = None
+                    last_probe_alive = alive_now
                     state = new_state
                     meter.capacity = state.capacity
     finally:

@@ -408,6 +408,11 @@ def slots_near_raw(jrows, *, mode: str, eps2, growth,
     # slot-lane] dims tile-aligned: pad features to the 8-sublane unit
     # (no-op when the caller fused this into its cell pad — the fast path)
     lpad = -(-L // 8) * 8
+    if jrows.shape[1] > lpad:
+        raise ValueError(
+            f"jrows has {jrows.shape[1]} feature rows but L={L} implies at "
+            f"most {lpad} (sublane-padded); the caller's L and jrows are "
+            "inconsistent")
     if jrows.shape[1] != lpad:
         jrows = jnp.pad(jrows, ((0, 0), (0, lpad - jrows.shape[1]), (0, 0)))
 

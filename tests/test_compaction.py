@@ -94,3 +94,58 @@ def test_driver_compacts_sharded():
     np.testing.assert_allclose(np.asarray(res8.state.vel)[live8],
                                np.asarray(res1.state.vel)[live1],
                                rtol=1e-5, atol=1e-4)
+
+
+def test_single_device_compaction_rebuilds_step(monkeypatch):
+    """Capacity-derived step choices (split-dispatch n_splits) must be
+    rebuilt after a shards==1 compaction: a stale build kept a compacted
+    run paying the original capacity's dispatch count per step."""
+    import nbodyax.driver as drv
+    calls = []
+    orig = drv.build_step
+
+    def spy(cfg, capacity=0, **kw):
+        step = orig(cfg, capacity=capacity, **kw)
+        calls.append((capacity, bool(getattr(step, "_host_loop", False))))
+        return step
+
+    monkeypatch.setattr(drv, "build_step", spy)
+    # shrink the per-dispatch pair budget so 512 slots needs a split step
+    # (3 dispatches) while the compacted bucket fits in one
+    monkeypatch.setattr(drv, "MAX_PAIRS_PER_DISPATCH", 1e5)
+    cfg = SimConfig(particle_count=512, total_iterations=30,
+                    field_width=2000, field_height=2000,
+                    save_images=False, log_every=0, compact_every=10,
+                    backend="pallas")
+    res = drv.run_simulation(cfg, quiet=True)
+    assert res.state.capacity < 512
+    assert calls[0] == (512, True)          # initial build: split/host-loop
+    assert len(calls) >= 2                  # compaction rebuilt the step
+    assert calls[-1][0] == res.state.capacity
+    assert calls[-1][1] is False            # small bucket: one dispatch
+
+
+def test_drift_probe_fires_off_log_cadence(monkeypatch):
+    """Merger-phase hardening: with bhAdapt on, fast alive-count drops
+    trigger bh health probes at WINDOW boundaries, not just log points
+    (r4 soak: a 50-step probe gap accumulated 424k bodies over the
+    partner cap — each silently skipping collision physics that step)."""
+    import nbodyax.driver as drv
+    import nbodyax.physics.barneshut as bh
+    calls = []
+    orig = bh.bh_health
+
+    def spy(*a, **k):
+        calls.append(k)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(bh, "bh_health", spy)
+    # no log/checkpoint cadence at all: every probe recorded here is an
+    # off-cadence drift probe
+    cfg = SimConfig(particle_count=512, total_iterations=200,
+                    field_width=2000, field_height=2000,
+                    save_images=False, log_every=0,
+                    force_model="bh", backend="jnp")
+    res = drv.run_simulation(cfg, quiet=True)
+    assert int(np.asarray(res.state.step)) == 200
+    assert calls, "no drift probes fired in a merging run without logs"
