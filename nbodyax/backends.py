@@ -60,7 +60,8 @@ def build_accum_fn(backend: str, p: PhysicsParams, cfg=None):
                        far=getattr(cfg, "bh_far", "fmm"),
                        near=_resolve_near(cfg),
                        comp_cap=getattr(cfg, "bh_comp_cap", 0),
-                       near_pallas=getattr(cfg, "bh_pallas", "auto"))
+                       near_pallas=getattr(cfg, "bh_pallas", "auto"),
+                       n_giants=getattr(cfg, "bh_giants", 1024))
     backend = resolve_backend(backend)
     if backend == "jnp":
         return partial(pair_accumulators, eps=p.eps, growth_rate=p.growth_rate,

@@ -158,13 +158,22 @@ class SimConfig:
                                           # bhAdapt when a scene's crowded
                                           # cells would otherwise drop
                                           # bodies past it)
+    bh_giants: int = 1024                 # largest-radius bodies given
+                                          # EXACT any-distance collisions
+                                          # (the near window only covers
+                                          # r_i+r_j <= ring*cell; merged
+                                          # giants outgrow it) — O(N*B)
+                                          # collision-only pass; 0 = off
+                                          # (single-device bh only)
     bh_adapt: bool = True                 # driver self-tuning between log
-                                          # windows: double bhNeighborK when
+                                          # windows: widen bhNeighborK when
                                           # bh_overflow is logged, coarsen
                                           # bhLevels when grown radii
                                           # threaten the near-window
-                                          # collision range (bounded
-                                          # recompiles; 0 = pin the knobs)
+                                          # collision range AND bhGiants=0
+                                          # (the giant pass covers it
+                                          # exactly; bounded recompiles;
+                                          # 0 = pin the knobs)
     shards: int = 1                       # devices to shard bodies over
     scene: str = "uniform"                # uniform (reference) | galaxy |
                                           # plummer | three_body
@@ -253,6 +262,8 @@ class SimConfig:
                 raise ConfigError("bhNeighborK must be >= 0 (0 = auto)")
             if self.bh_comp_cap < 0:
                 raise ConfigError("bhCompCap must be >= 0 (0 = auto)")
+            if self.bh_giants < 0:
+                raise ConfigError("bhGiants must be >= 0 (0 = off)")
             if self.bh_order not in (1, 2):
                 raise ConfigError("bhOrder must be 1 or 2")
             if self.bh_far not in ("fmm", "direct"):
@@ -301,6 +312,7 @@ _KEYS = {
     "bhRing": ("bh_ring", _stoi),
     "bhNeighborK": ("bh_neighbor_k", _stoi),
     "bhCompCap": ("bh_comp_cap", _stoi),
+    "bhGiants": ("bh_giants", _stoi),
     "bhPallas": ("bh_pallas", lambda s, k: s.strip()),
     "bhOrder": ("bh_order", _stoi),
     # (bhFar once used bare ``str`` here, which explodes under the

@@ -399,6 +399,16 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
         imgs = np.asarray(buf)
         return s, [imgs[m] for m in range(nf)], vec
 
+    if cfg.checkpoint_every and cfg.auto_resume and not cfg.resume_from:
+        # a crash BEFORE the first cadence checkpoint must still be
+        # resumable: autoResume reloads the latest snapshot, and with none
+        # on disk the whole run dies (soak r5 stage 1: worker death at
+        # step ~20 with the first checkpoint due at step 100). Persist the
+        # starting state up front; retention treats it like any other.
+        save_checkpoint(cfg.checkpoint_path, state,
+                        keep_last=cfg.checkpoint_keep,
+                        milestone_every=cfg.checkpoint_milestone_every)
+
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
     windows = 0
@@ -438,7 +448,8 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
         h = np.asarray(bh_health(
             s.pos, s.mass, s.radius,
             levels=cfg.bh_levels, neighbor_k=cfg.bh_neighbor_k,
-            ring=cfg.bh_ring, near=cfg.bh_near, comp_cap=cfg.bh_comp_cap))
+            ring=cfg.bh_ring, near=cfg.bh_near, comp_cap=cfg.bh_comp_cap,
+            n_giants=getattr(cfg, "bh_giants", 0)))
         dropping = (last_probe_alive is not None
                     and alive_now < last_probe_alive
                     * (1.0 - DRIFT_ALIVE_FRAC))
@@ -489,7 +500,18 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
         # cap at 7 levels: 2^(3*8) cells would blow the documented
         # VMEM/HBM budget — same bound config.validate() enforces)
         max_adapt_lv = 7 if cfg.dimensions == 3 else 10
-        if 2.0 * h[2] > cfg.bh_ring * cell and cfg.bh_levels > 2:
+        # radius-outgrows-window coarsening ONLY without the giant pass
+        # (bhGiants=0): with it, oversized bodies collide exactly at any
+        # distance, while coarsening to chase the single largest radius
+        # multiplied near-field cost without bound (r5 stage 1: levels
+        # 9->8->7 with K 48->688 inside 16 merger steps, worker death).
+        # It is also occupancy-bounded: coarsening past the K=1024 slot
+        # ceiling would overflow every cell — strictly worse than the
+        # distant-overlap misses it repairs.
+        occ_next = alive_now / (1 << (cfg.dimensions * (cfg.bh_levels - 1)))
+        if (not getattr(cfg, "bh_giants", 0)
+                and 2.0 * h[2] > cfg.bh_ring * cell and cfg.bh_levels > 2
+                and occ_next * 2.5 <= 1024):
             new["bh_levels"] = cfg.bh_levels - 1
         elif ((h[1] > noise or (h[1] > 0 and prev_dropped > 0))
                 and "bh_neighbor_k" not in new):
@@ -515,6 +537,21 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
         prev_dropped = h[1]
         if new:
             from dataclasses import replace as _dc
+            # pessimistic scaled PRIOR for the next window's wall clip
+            # instead of a blind 8-step bootstrap: an adapt can multiply
+            # per-step cost (K 144->688 on a coarsened grid made the
+            # 8-step bootstrap itself outlive the ~2-min watchdog and
+            # killed the TPU worker, soak r5 stage 1). Near-field cost is
+            # ~linear in K; a coarsen without a K change raises occupancy
+            # instead, so scale by 2 there. The prior self-corrects after
+            # one measured window and only ever SHRINKS the next window.
+            ratio = 1.0
+            if "bh_neighbor_k" in new and cfg.bh_neighbor_k > 0:
+                ratio = new["bh_neighbor_k"] / cfg.bh_neighbor_k
+            elif new.get("bh_levels", cfg.bh_levels) < cfg.bh_levels:
+                ratio = 2.0
+            prior = (est_step_wall * max(1.0, ratio)
+                     if est_step_wall else None)
             cfg = _dc(cfg, **new)
             step = build_step(cfg, capacity=s.capacity)
             host_loop = getattr(step, "_host_loop", False)
@@ -525,9 +562,9 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
             # dropping the adapt
             dyn_runner.clear()
             # adapted knobs (wider K, finer grid) can be a multiple of the
-            # old per-step cost: re-measure before trusting a
-            # cadence-sized window
-            est_step_wall = None
+            # old per-step cost: clip the next window by the scaled prior
+            # (or re-measure via the bootstrap when no estimate exists)
+            est_step_wall = prior
             if not quiet:
                 print(f"bh adapt at step {at_step}: {new}")
         drift_mode = bool(dropping or (h[0] + h[1]) > 0)
@@ -610,6 +647,9 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                 if cfg.force_model == "bh":
                     h = bh_probe_adapt(state, alive_now, iteration)
                     scal["bh_overflow"] = int(h[0] + h[1])
+                    # coverage-exceeding bodies beyond the exact-collision
+                    # giant list (approximation-1 residual, not silent)
+                    scal["bh_giant_excess"] = int(h[6])
                 if cfg.energy_every and iteration % cfg.energy_every == 0:
                     # O(N^2) pair potential: opt-in, at its own (coarser)
                     # cadence — as expensive as a force pass

@@ -1928,13 +1928,146 @@ def _annulus_force_bodies(i_pos, packed, ext, levels, w_near, w_far, eps2,
 
 
 
+def giant_collision_accumulators(pos, vel, mass, radius, *, ext, levels,
+                                 ring, growth_rate, mode: str,
+                                 n_giants: int,
+                                 chunk: int = 16384) -> PairAccumulators:
+    """Exact COLLISION channels for the largest-radius bodies at any pair
+    distance: the near window only covers overlaps with
+    ``r_i + r_j <= ring * cell`` (module docstring, approximation 1), and
+    merged "giants" outgrow that within steps of a merging run — the r4
+    soak's alternative, coarsening the whole grid to chase ``2*rmax``,
+    multiplies near-field cost without bound (K 48 -> 688 inside 16 steps
+    of the 4M galaxy; the reference evaluates every pair unconditionally,
+    /root/reference/src/nbody.cu:196-226, so giants MUST keep eating).
+
+    The top ``n_giants`` live bodies by radius (among those with
+    ``radius > ring*cell/2`` — smaller bodies cannot form an uncovered
+    overlap unless the partner qualifies as a giant itself) are evaluated
+    exactly against EVERY body, restricted to pairs the near window does
+    NOT cover (chebyshev finest-cell distance > ring) so no pair is
+    double-counted, with the gravity channel zeroed (the far field already
+    accounts for non-near pairs at its documented error level, and the
+    reference EXCLUDES gravity on overlapping pairs anyway). Both pair
+    sides are produced: pass 1 gives every body its channels from giant
+    partners (death under a heavier giant included), pass 2 gives each
+    giant its channels from all non-giant bodies (giant-giant pairs ride
+    pass 1). Cost is O(N * n_giants) collision tests — at the 4M galaxy
+    with B=1024 that is ~0.1% of one exact step.
+
+    Residual approximation: uncovered overlaps where NEITHER body ranks in
+    the top ``n_giants`` (bounded by twice the (B+1)-th largest radius;
+    ``bh_health`` reports the count of coverage-exceeding bodies beyond
+    the giant list). Returns full-length [n] accumulators (identity rows
+    for untouched bodies); ``mode="none"`` or ``n_giants=0`` contributes
+    nothing and should be skipped by the caller."""
+    n = pos.shape[0]
+    dim = pos.shape[-1]
+    g = 1 << levels
+    alive = mass > 0
+    _, csz = _cell_sizes(ext, g)
+    cell_min = csz[0]
+    for s in csz[1:]:
+        cell_min = jnp.minimum(cell_min, s)
+    thr = 0.5 * ring * cell_min
+    B = max(8, min(n_giants, n))
+    key = jnp.where(alive & (radius > thr), radius, -1.0)
+    _, topi = lax.top_k(key, B)
+    gmask = key[topi] > 0
+    pg, vg = pos[topi], vel[topi]
+    mg = jnp.where(gmask, mass[topi], 0.0)   # masked slots: dead -> no pairs
+    rg = radius[topi]
+    gids = topi.astype(jnp.int32)
+    cells = jnp.stack(_cells(pos, ext, g), axis=-1)      # [n, dim] i32
+    gcells = cells[topi]
+    is_giant = jnp.zeros((n,), bool).at[
+        jnp.where(gmask, topi, n)].set(True, mode="drop")
+
+    def uncovered(ci, cj):
+        """[C, M] pairs beyond the near window (any-axis distance > ring)."""
+        d = jnp.abs(ci[:, None, :] - cj[None, :, :])
+        return jnp.max(d, axis=-1) > ring
+
+    from nbodyax.physics.pairwise import pair_accumulators_chunk
+    gr = jnp.float32(growth_rate)
+    eps2 = jnp.float32(0.0)      # force channel is discarded; eps moot
+    c = max(8, min(n, chunk))
+    nchunks = -(-n // c)
+    npad = nchunks * c
+
+    def pad(x):
+        if npad == n:
+            return x
+        return jnp.pad(x, [(0, npad - n)] + [(0, 0)] * (x.ndim - 1))
+
+    pos_p, vel_p, mass_p, radius_p, cells_p, isg_p = map(
+        pad, (pos, vel, mass, radius, cells, is_giant))
+    idx_p = lax.broadcasted_iota(jnp.int32, (npad, 1), 0).squeeze(-1)
+
+    # pass 1: every body (chunked over i) against the giant partner set
+    def one_i(ci):
+        s = ci * c
+
+        def sl(x):
+            return lax.dynamic_slice_in_dim(x, s, c)
+
+        pm = uncovered(sl(cells_p), gcells)
+        return pair_accumulators_chunk(
+            sl(pos_p), sl(vel_p), sl(mass_p), sl(radius_p), sl(idx_p),
+            pg, vg, mg, rg, gids, eps2=eps2, growth_rate=gr, mode=mode,
+            pair_mask=pm, with_force=False)
+
+    if nchunks == 1:
+        acc1 = jax.tree.map(lambda x: x[None], one_i(0))
+    else:
+        acc1 = lax.map(one_i, jnp.arange(nchunks))
+    acc1 = jax.tree.map(lambda x: x.reshape((npad,) + x.shape[2:])[:n], acc1)
+
+    # pass 2: the giants (one i chunk of B) against every NON-giant body,
+    # chunked over j; j-partials fold through the accumulator monoid
+    def one_j(cj):
+        s = cj * c
+
+        def sl(x):
+            return lax.dynamic_slice_in_dim(x, s, c)
+
+        pm = uncovered(gcells, sl(cells_p)) & ~sl(isg_p)[None, :]
+        return pair_accumulators_chunk(
+            pg, vg, mg, rg, gids,
+            sl(pos_p), sl(vel_p), sl(mass_p), sl(radius_p), sl(idx_p),
+            eps2=eps2, growth_rate=gr, mode=mode, pair_mask=pm,
+            with_force=False)
+
+    if nchunks == 1:
+        acc2 = one_j(0)
+    else:
+        stacked = lax.map(one_j, jnp.arange(nchunks))
+
+        def fold(k, cur):
+            return combine_accumulators(
+                cur, jax.tree.map(lambda x: x[k], stacked))
+
+        acc2 = lax.fori_loop(1, nchunks, fold,
+                             jax.tree.map(lambda x: x[0], stacked))
+
+    # scatter the giant rows into full-length identity accumulators
+    # (top_k indices are unique; masked slots target n -> dropped)
+    ids = lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    full2 = empty_accumulators(ids, dim=dim)
+    safe = jnp.where(gmask, topi, n)
+    full2 = PairAccumulators(*[
+        f.at[safe].set(v, mode="drop") for f, v in zip(full2, acc2)])
+    return combine_accumulators(acc1, full2)
+
+
 def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
                    levels, ring, neighbor_k, order, chunk,
                    shard=None, nshards: int = 1,
                    ci_cap: int = 0, far: str = "fmm",
                    near: str = "rows",
                    comp_cap: int = 0,
-                   pallas_near: bool = False) -> PairAccumulators:
+                   pallas_near: bool = False,
+                   n_giants: int = 0) -> PairAccumulators:
     """Near+far per-cell evaluation over the full body set (or, with
     ``shard``/``nshards``, over one contiguous 1/nshards cell slice plus
     1/nshards of the completion list — every body's accumulators are then
@@ -2136,7 +2269,18 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
     ids = jnp.arange(n, dtype=jnp.int32)
     far_acc = empty_accumulators(ids, dim=dim)._replace(
         force=jnp.where(alive[:, None], far_v, 0.0))
-    return combine_accumulators(near_acc, far_acc)
+    out = combine_accumulators(near_acc, far_acc)
+    if n_giants and nshards == 1 and mode != "none":
+        # exact any-distance collisions for the largest-radius bodies
+        # (giant_collision_accumulators docstring). Sharded bh keeps the
+        # window-only coverage for now: the giant rows span every shard's
+        # cell slice, which breaks the psum_scatter identity-rebased merge
+        # — see sharding/bh.py.
+        out = combine_accumulators(out, giant_collision_accumulators(
+            pos, vel, mass, radius, ext=ext, levels=levels, ring=ring,
+            growth_rate=growth_rate, mode=mode, n_giants=n_giants,
+            chunk=max(chunk, 4096)))
+    return out
 
 
 def _resolve_near_pallas(near_pallas: str, near: str) -> bool:
@@ -2161,9 +2305,12 @@ def bh_accumulators(pos, vel, mass, radius, *, eps: float = 0.0,
                     ci_cap: int = 0, far: str = "fmm",
                     near: str = "rows",
                     comp_cap: int = 0,
-                    near_pallas: str = "auto") -> PairAccumulators:
+                    near_pallas: str = "auto",
+                    n_giants: int = 1024) -> PairAccumulators:
     """Drop-in accum_fn (same interface as pair_accumulators): approximate
-    far-field force + exact near-field force/collision accumulators.
+    far-field force + exact near-field force/collision accumulators, plus
+    exact any-distance collisions for the ``n_giants`` largest-radius
+    bodies (giant_collision_accumulators; 0 disables).
 
     The near field runs as a per-CELL pass (shared window gathers) over
     each cell's first slot_cap(n, cells) sorted bodies (2x the average
@@ -2182,7 +2329,8 @@ def bh_accumulators(pos, vel, mass, radius, *, eps: float = 0.0,
                           ring=ring, neighbor_k=neighbor_k, order=order,
                           chunk=chunk, ci_cap=ci_cap, far=far, near=near,
                           comp_cap=comp_cap,
-                          pallas_near=_resolve_near_pallas(near_pallas, near))
+                          pallas_near=_resolve_near_pallas(near_pallas, near),
+                          n_giants=n_giants)
 
 
 def bh_cellrange_accumulators(pos, vel, mass, radius, shard, nshards: int, *,
@@ -2308,18 +2456,23 @@ def needed_neighbor_k(pos, mass, *, levels: int, ring: int = 1,
 
 
 @partial(jax.jit, static_argnames=("levels", "neighbor_k", "ring", "near",
-                                   "comp_cap"))
+                                   "comp_cap", "n_giants"))
 def bh_health(pos, mass, radius, *, levels: int, neighbor_k: int = 0,
-              ring: int = 1, near: str = "rows", comp_cap: int = 0):
+              ring: int = 1, near: str = "rows", comp_cap: int = 0,
+              n_giants: int = 0):
     """One-dispatch health probe for the driver's per-log bh check:
     [partner-cap overflow, completion-budget overflow, max live radius,
     min bounding-box span, count-aware minimal partner cap, completion-pass
-    population]. The driver fetches this single vector and (with
-    ``bhAdapt``) widens bhNeighborK to the reported minimal cap on
-    partner-cap overflow, refines bhLevels on completion-budget overflow
+    population, giant-list excess]. The driver fetches this single vector
+    and (with ``bhAdapt``) widens bhNeighborK to the reported minimal cap
+    on partner-cap overflow, refines bhLevels on completion-budget overflow
     (K does not touch that term) or — at the level cap — widens bhCompCap
-    to the reported population, or coarsens bhLevels when 2*max_radius
-    outgrows the ring's collision coverage (ring * min_span / 2^levels)."""
+    to the reported population, or (only with ``bhGiants=0``) coarsens
+    bhLevels when 2*max_radius outgrows the ring's collision coverage
+    (ring * min_span / 2^levels). The last term is the number of
+    coverage-exceeding bodies (radius > ring*cell/2) beyond the
+    ``n_giants`` exact-collision list — the population whose distant
+    overlaps remain approximation 1 (giant_collision_accumulators)."""
     alive = mass > 0
     k_over, dropped = _overflow_terms(pos, mass, levels=levels,
                                       neighbor_k=neighbor_k, ring=ring,
@@ -2330,7 +2483,11 @@ def bh_health(pos, mass, radius, *, levels: int, neighbor_k: int = 0,
     span_min = spans[0]
     for s in spans[1:]:
         span_min = jnp.minimum(span_min, s)
+    thr = 0.5 * ring * span_min / (1 << levels)
+    giant_excess = jnp.maximum(
+        0, jnp.sum(alive & (radius > thr)) - n_giants)
     return jnp.stack([k_over.astype(jnp.float32),
                       dropped.astype(jnp.float32), rmax, span_min,
                       jnp.max(unit).astype(jnp.float32),
-                      i_over.astype(jnp.float32)])
+                      i_over.astype(jnp.float32),
+                      giant_excess.astype(jnp.float32)])

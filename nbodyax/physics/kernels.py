@@ -196,12 +196,20 @@ def _pair_kernel(ioff_ref, joff_ref, xi_ref, xj_ref, out_ref, *opt_refs,
         approaching = overlap_raw & (vdotp < 0)
         # (2*m_j/(m_i+m_j)) * vdotp / d2 via the fast hardware reciprocal
         # (~9 bits on v5e) + ONE Newton step (error squares: ~2e-3 ->
-        # ~5e-6 relative on the dv channel — physically immaterial for a
-        # velocity impulse and still tight enough to catch structural
-        # bugs; the oracle test gates dv at 1e-5): measured 1.034e11 ->
-        # 1.125e11 pairs/s vs
-        # the old rsqrt-and-square — this was the mode's second
-        # transcendental. The min() clamp keeps overflowed denominators
+        # ~5e-6 relative on the dv channel): measured 1.034e11 ->
+        # 1.125e11 pairs/s vs the old rsqrt-and-square — this was the
+        # mode's second transcendental. ONE step (not two) is deliberate:
+        # the oracle test gates dv at 1e-5, leaving only ~2x headroom,
+        # and that is the point — the gate is set just above this path's
+        # known ~5e-6 approximation error so any STRUCTURAL regression
+        # (wrong mass ratio, dropped term, lost Newton step: back to
+        # ~2e-3) trips it, while the approximation itself passes
+        # deterministically. A second Newton step would buy ~1e-11
+        # accuracy nobody observes (the impulse feeds an f32 velocity
+        # whose own rounding is ~6e-8) at ~4 extra VPU ops on the
+        # innermost pair loop; f32 exactness is not reachable by ANY
+        # divide ordering since the reference computes this in a
+        # different association anyway (PARITY.md Q-class f32 noise). The min() clamp keeps overflowed denominators
         # finite so the Newton step degrades them to an exactly-zero
         # impulse (flushed r0) instead of NaN; 1/0 = inf on self-pairs
         # turns the Newton step NaN, which the coef where() discards

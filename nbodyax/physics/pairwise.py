@@ -96,7 +96,9 @@ def combine_accumulators(a: PairAccumulators, b: PairAccumulators) -> PairAccumu
 
 
 def pair_accumulators_chunk(pi, vi, mi, ri, ii, pos, vel, mass, radius, jj, *,
-                            eps2, growth_rate, mode: str) -> PairAccumulators:
+                            eps2, growth_rate, mode: str,
+                            pair_mask=None,
+                            with_force: bool = True) -> PairAccumulators:
     """Accumulators for an i-chunk [C] against a j set [M].
 
     ``ii``/``jj`` are *global* body indices (self-pairs are skipped by global
@@ -105,6 +107,14 @@ def pair_accumulators_chunk(pi, vi, mi, ri, ii, pos, vel, mass, radius, jj, *,
     the cross-shard ring (sharding/ring.py), where each hop folds one remote
     j-tile into the local i accumulators — mirroring how the reference
     accumulates across shared-memory tiles (nbody.cu:182-242).
+
+    ``pair_mask`` (optional bool [C, M]) restricts the evaluation to a pair
+    subset — ANDed into the validity gate, so masked-out pairs contribute
+    exact identity to every channel. ``with_force=False`` skips the gravity
+    reduction entirely (force comes back zero). Both are used by the
+    Barnes-Hut giant-body pass (barneshut.giant_collision_accumulators),
+    which evaluates only COLLISION channels of the pairs the near window
+    does NOT cover.
     """
     alive_j = (mass > 0)[None, :]
     alive_i = (mi > 0)[:, None]
@@ -115,22 +125,25 @@ def pair_accumulators_chunk(pi, vi, mi, ri, ii, pos, vel, mass, radius, jj, *,
     rsum = ri[:, None] + radius[None, :]
     overlap = d2 <= rsum * rsum                        # nbody.cu:133
     valid = alive_i & alive_j & (ii[:, None] != jdx)
+    if pair_mask is not None:
+        valid &= pair_mask
     overlap &= valid
 
     # Gravity: excluded on overlapping pairs (reference continue, nbody.cu:221,226).
     # In elastic mode bodies never merge, so gravity applies to every valid pair
     # (softening recommended) while the bounce impulse handles the contact.
-    if mode == "elastic":
-        fmask = valid
-    else:
-        fmask = valid & ~overlap
-    d2_eff = d2 + eps2
-    safe = fmask & (d2_eff > 0)
-    inv = lax.rsqrt(jnp.where(safe, d2_eff, 1.0))
-    w = jnp.where(safe, mass[None, :] * (inv * inv * inv), 0.0)  # m_j / d_eff^3
-    force = jnp.einsum("cn,cnd->cd", w, dp)
-
-    out = empty_accumulators(ii, dim=pi.shape[-1])._replace(force=force)
+    out = empty_accumulators(ii, dim=pi.shape[-1])
+    if with_force:
+        if mode == "elastic":
+            fmask = valid
+        else:
+            fmask = valid & ~overlap
+        d2_eff = d2 + eps2
+        safe = fmask & (d2_eff > 0)
+        inv = lax.rsqrt(jnp.where(safe, d2_eff, 1.0))
+        w = jnp.where(safe, mass[None, :] * (inv * inv * inv),
+                      0.0)  # m_j / d_eff^3
+        out = out._replace(force=jnp.einsum("cn,cnd->cd", w, dp))
 
     if mode == "reference":
         heavier = mi[:, None] >= mass[None, :]         # nbody.cu:215 (>= : Q1)
