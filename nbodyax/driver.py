@@ -528,10 +528,30 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
             pop = int(h[5])
             need_comp = min(s.capacity, 1024 * -(-(pop + pop // 8) // 1024))
             default_comp = min(s.capacity, max(1024, s.capacity // 16))
+            # would refining actually fit? the finer slot grid's rows are
+            # cells * S; refining while keeping an adapt-widened K
+            # multiplied into HBM exhaustion (r5: levels 9->10 with the
+            # K=288 it had just widened = a ~7 GB slot table, worker
+            # death loop) — so a refine RESETS K to the finer grid's
+            # heuristic and is skipped when even that grid would blow
+            # the ~2 GB slot-table budget
+            from nbodyax.physics.barneshut import auto_neighbor_k, slot_cap
+            cells_f = 1 << (cfg.dimensions * (cfg.bh_levels + 1))
+            k_f = auto_neighbor_k(s.capacity, cfg.bh_levels + 1,
+                                  cfg.bh_ring, cfg.dimensions, cfg.bh_near)
+            refine_fits = (cells_f * max(k_f, slot_cap(s.capacity, cells_f))
+                           <= 64 * (1 << 20))
             if cfg.bh_comp_cap and need_comp <= default_comp:
                 new["bh_comp_cap"] = need_comp
-            elif cfg.bh_levels < max_adapt_lv:
+            elif ((dropping or drift_mode)
+                  and need_comp <= s.capacity // 4):
+                # transient merger crowding: widen the budget in place
+                # (one cheap recompile); refining mid-collapse churns
+                # grids the post-compaction re-resolve discards anyway
+                new["bh_comp_cap"] = need_comp
+            elif cfg.bh_levels < max_adapt_lv and refine_fits:
                 new["bh_levels"] = cfg.bh_levels + 1
+                new["bh_neighbor_k"] = k_f
             elif need_comp > (cfg.bh_comp_cap or default_comp):
                 new["bh_comp_cap"] = need_comp
         prev_dropped = h[1]
@@ -550,6 +570,14 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                 ratio = new["bh_neighbor_k"] / cfg.bh_neighbor_k
             elif new.get("bh_levels", cfg.bh_levels) < cfg.bh_levels:
                 ratio = 2.0
+            if "bh_comp_cap" in new:
+                # a widened completion budget is a static per-body list;
+                # its cost is ~linear in the budget (r3: the default
+                # ~n/16 list was 2.6 s of a 3.5 s step at 4M) — bound
+                # the pessimism at 8x, one window self-corrects
+                ratio = max(ratio, min(
+                    8.0, new["bh_comp_cap"]
+                    / max(cfg.bh_comp_cap or 1024, 1024)))
             prior = (est_step_wall * max(1.0, ratio)
                      if est_step_wall else None)
             cfg = _dc(cfg, **new)

@@ -252,6 +252,7 @@ def rel_force_err(a, b):
 
 @pytest.mark.parametrize("ring,order,tol", [(1, 1, 0.08), (1, 2, 0.02),
                                             (2, 2, 0.01)])
+@pytest.mark.slow
 def test_bh_3d_far_field_accuracy(ring, order, tol):
     """Octree far field vs the exact oracle in 3-D (monopole and
     quadrupole)."""
@@ -268,6 +269,7 @@ def test_bh_3d_far_field_accuracy(ring, order, tol):
     assert rel_force_err(bh, ex) < tol
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["reference", "momentum", "elastic"])
 def test_bh_3d_collision_channels_match_exact(mode):
     """3-D near field: with the whole neighborhood inside the window the
@@ -296,6 +298,7 @@ def test_bh_3d_collision_channels_match_exact(mode):
         assert np.abs(da - de).max() / max(np.abs(de).max(), 1e-30) < 2e-5
 
 
+@pytest.mark.slow
 def test_bh_3d_step_trajectory_close_to_exact():
     from functools import partial as _partial
     from nbodyax.physics.barneshut import bh_accumulators
@@ -320,6 +323,7 @@ def test_bh_3d_step_trajectory_close_to_exact():
     assert np.abs(np.asarray(a.pos) - np.asarray(b.pos)).max() / 4000.0 < 0.01
 
 
+@pytest.mark.slow
 def test_bh_3d_sharded_matches_single():
     from nbodyax.sharding.bh import make_sharded_bh_step
     from nbodyax.sharding.mesh import make_mesh, shard_state

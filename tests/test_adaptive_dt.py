@@ -226,6 +226,7 @@ def test_ring_sharded_adaptive_matches_single_device():
                                rtol=2e-5, atol=1e-2)
 
 
+@pytest.mark.slow
 def test_bh_sharded_adaptive_matches_single_device():
     """The bh-sharded step's pmin (sharding/bh.py step_dt call) must give
     every shard the identical lockstep dt: 4-shard cell-range trajectories

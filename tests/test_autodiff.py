@@ -127,6 +127,7 @@ def test_trajectory_loss_and_shapes():
     assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.abs(g).max()) > 0
 
 
+@pytest.mark.slow
 def test_grad_through_sharded_ring_matches_single_device():
     # differentiable DISTRIBUTED simulation: reverse-mode flows through the
     # shard_map ring step (XLA differentiates ppermute/psum natively) and
@@ -200,6 +201,7 @@ def test_pallas_vjp_matches_jnp(mode, eps, dim):
         assert err < 3e-6, (mode, eps, dim, name, err)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["reference", "momentum", "elastic"])
 def test_pallas_rollout_grad_matches_jnp(mode):
     # full 4-step rollout (collisions + boundary + integrator): gradients
@@ -234,6 +236,7 @@ def test_pallas_rollout_grad_matches_jnp(mode):
         assert np.abs(a).max() > 0, (mode, leaf, "zero gradient")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["reference", "elastic"])
 def test_grad_through_sharded_pallas_ring(mode):
     # the custom VJP composes with shard_map/ppermute: distributed Pallas

@@ -10,6 +10,7 @@ from nbodyax.config import SimConfig
 from nbodyax.driver import run_simulation
 
 
+@pytest.mark.slow
 def test_profiler_trace_capture(tmp_path):
     cfg = SimConfig(particle_count=32, total_iterations=3, field_width=1000,
                     field_height=1000, backend="jnp", save_images=False,

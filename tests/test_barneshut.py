@@ -7,6 +7,11 @@ from nbodyax.physics.barneshut import (auto_levels, bh_accumulators,
                                        overflow_count)
 from nbodyax.physics.pairwise import pair_accumulators
 
+# full-module slow tier: every case here compiles multi-engine
+# bh/shard graphs (CLAUDE.md batch recipe); the fast tier keeps bh
+# coverage via tests/test_giants.py smoke
+pytestmark = pytest.mark.slow
+
 
 def random_state(n, seed=0, field=10000.0, rmax=8.0):
     rng = np.random.RandomState(seed)

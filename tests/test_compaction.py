@@ -71,6 +71,7 @@ def test_driver_compacts(tmp_path):
     assert alive_count(res.state) <= res.state.capacity
 
 
+@pytest.mark.slow
 def test_driver_compacts_sharded():
     """Sharded compaction (gather -> compact -> re-pad -> re-shard): a
     merging 8-shard run shrinks capacity mid-run and its surviving bodies
@@ -125,6 +126,7 @@ def test_single_device_compaction_rebuilds_step(monkeypatch):
     assert calls[-1][1] is False            # small bucket: one dispatch
 
 
+@pytest.mark.slow
 def test_drift_probe_fires_off_log_cadence(monkeypatch):
     """Merger-phase hardening: with bhAdapt on, fast alive-count drops
     trigger bh health probes at WINDOW boundaries, not just log points

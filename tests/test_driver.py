@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from nbodyax.config import SimConfig
 from nbodyax.driver import run_simulation
@@ -86,6 +87,7 @@ def test_coprime_cadences_match_per_step_results(tmp_path):
                                np.asarray(r2.state.pos), rtol=1e-6, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_coprime_cadence_with_frames(tmp_path):
     """Frame boundaries clip misaligned windows (every frame window starts
     at a frame-cadence multiple), so frames stay correct under coprime
@@ -146,6 +148,7 @@ def test_frame_content_is_post_step_state(tmp_path):
         np.asarray(render_state(state, cfg)))
 
 
+@pytest.mark.slow
 def test_bh_log_labels_equivalent_pairs(tmp_path):
     cfg = base_cfg(tmp_path, force_model="bh", softening=10.0, bh_levels=3,
                    bh_neighbor_k=64, log_every=10, total_iterations=10)
@@ -171,6 +174,7 @@ def test_energy_logging_cadence(tmp_path):
         1e-6 * max(abs(r["total_energy"]), 1.0)
 
 
+@pytest.mark.slow
 def test_multi_frame_fused_window_content(tmp_path):
     """With logEvery a multiple of the frame cadence, several frames render
     inside ONE fused dispatch window (driver.advance_frame_window's stacked
@@ -199,6 +203,7 @@ def test_multi_frame_fused_window_content(tmp_path):
             read_pgm(str(tmp_path / "ref" / "frames" / nm)), err_msg=nm)
 
 
+@pytest.mark.slow
 def test_bh_adapt_raises_neighbor_k_on_overflow(tmp_path, capsys):
     """bhAdapt: a clustered scene whose window rows overflow a tiny
     bhNeighborK must trigger a between-window rebuild with doubled K.
@@ -221,6 +226,7 @@ def test_bh_adapt_raises_neighbor_k_on_overflow(tmp_path, capsys):
     assert "bh adapt" in out and "bh_neighbor_k" in out, out
 
 
+@pytest.mark.slow
 def test_bh_adapt_fixes_small_persistent_overflow(tmp_path, capsys):
     """VERDICT r2 #1: overflow BELOW the 64-body noise floor must still
     adapt when it persists (two consecutive nonzero health checks) — the
@@ -254,6 +260,7 @@ def test_bh_adapt_fixes_small_persistent_overflow(tmp_path, capsys):
     assert out.count("bh adapt") == 1, out
 
 
+@pytest.mark.slow
 def test_bh_adapt_repeated_widening_under_sustained_collapse(tmp_path,
                                                              capsys):
     """VERDICT r2 #8: a state that keeps drifting (here a radial collapse —
@@ -293,6 +300,7 @@ def test_bh_adapt_repeated_widening_under_sustained_collapse(tmp_path,
     assert all(o == 0 for o in ov[last_bad + 1:]), ov
 
 
+@pytest.mark.slow
 def test_bh_adapt_rewidens_rightsized_completion_budget(tmp_path, capsys):
     """bhAdapt response ladder for completion-budget drops: when bhCompCap
     was right-sized (pick_levels shrinks it below the ~n/16 default so small
@@ -331,9 +339,12 @@ def test_bh_adapt_rewidens_rightsized_completion_budget(tmp_path, capsys):
     assert ov[-1] == 0, ov                   # one widening restored exact
 
 
+@pytest.mark.slow
 def test_bh_adapt_coarsens_levels_when_radii_outgrow_window(tmp_path, capsys):
     """bhAdapt: radii larger than the ring's collision coverage at the
-    current finest level must coarsen bhLevels between windows."""
+    current finest level must coarsen bhLevels between windows — but ONLY
+    with bhGiants=0: the giant pass covers oversized bodies exactly, so
+    with it on (the default) the grid stays put."""
     rng = np.random.RandomState(4)
     n = 256
     from nbodyax.state import make_state
@@ -344,12 +355,13 @@ def test_bh_adapt_coarsens_levels_when_radii_outgrow_window(tmp_path, capsys):
     cfg = base_cfg(tmp_path, particle_count=n, total_iterations=4,
                    force_model="bh", softening=10.0, bh_levels=5,
                    bh_neighbor_k=64, log_every=2, field_width=2000,
-                   field_height=2000)
+                   field_height=2000, bh_giants=0)
     run_simulation(cfg, quiet=False, state=st)
     out = capsys.readouterr().out
     assert "bh adapt" in out and "bh_levels" in out, out
 
 
+@pytest.mark.slow
 def test_bh_adapt_off_pins_knobs(tmp_path, capsys):
     """bhAdapt=0 must leave the configured knobs untouched (no rebuild)."""
     rng = np.random.RandomState(3)
@@ -384,6 +396,7 @@ def test_compact_every_works_when_sharded(tmp_path):
     assert alive_count(res.state) > 0
 
 
+@pytest.mark.slow
 def test_driver_sharded_end_to_end(tmp_path):
     """run_simulation with shards=8 on the virtual mesh: the fused window
     runners (fori_loop over the shard_map step + in-jit conservation vec)

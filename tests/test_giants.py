@@ -46,6 +46,7 @@ def giant_scene(dim=2, seed=0):
     return pos, vel, mass, radius
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", MODES)
 def test_giant_pass_matches_oracle_collisions(mode):
     pos, vel, mass, radius = giant_scene()
@@ -78,6 +79,7 @@ def test_without_giants_the_distant_overlap_is_missed():
     assert not bool(np.asarray(off.died)[3])
 
 
+@pytest.mark.slow
 def test_giant_pass_noop_when_no_giants():
     """All radii below ring*cell/2: the giant list is empty and the pass
     contributes exact identity (bitwise-equal accumulators)."""
@@ -95,6 +97,7 @@ def test_giant_pass_noop_when_no_giants():
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_giant_pass_3d():
     pos, vel, mass, radius = giant_scene(dim=3, seed=5)
     kw = dict(growth_rate=0.1, mode="reference")
@@ -107,6 +110,7 @@ def test_giant_pass_3d():
                                np.asarray(oracle.gained_mass), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_giant_step_end_to_end():
     """A full bh step with giants: the distant victim is dead after one
     step; without giants it survives (and the giant's mass gain differs)."""

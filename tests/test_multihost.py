@@ -57,6 +57,7 @@ def _reference_checksums():
             float(out.mass.sum())]
 
 
+@pytest.mark.slow
 def test_two_process_distributed_ring_step(tmp_path):
     port = _free_port()
     env_base = {

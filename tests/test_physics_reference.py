@@ -145,6 +145,7 @@ def test_three_body_reference_fixture_runs():
     assert np.all(np.isfinite(np.asarray(st.vel)))
 
 
+@pytest.mark.slow
 def test_chunking_invariance():
     """Accumulators are identical whatever the i-chunk size (incl. N not a
     multiple of the chunk)."""

@@ -90,6 +90,7 @@ def test_plummer_scene_structure():
         np.asarray(st2.pos))
 
 
+@pytest.mark.slow
 def test_plummer_scene_near_virial_equilibrium_3d():
     """Aarseth velocity sampling: the 3-D sphere starts near 2T/|W| = 1
     (measured ~0.93 at n=4096; the 2-D 'Plummer disk' reuses the 3-D laws

@@ -11,6 +11,11 @@ from nbodyax.sharding.mesh import make_mesh, pad_to_shards, shard_state
 from nbodyax.state import make_state
 from functools import partial
 
+# full-module slow tier: every case here compiles multi-engine
+# bh/shard graphs (CLAUDE.md batch recipe); the fast tier keeps bh
+# coverage via tests/test_giants.py smoke
+pytestmark = pytest.mark.slow
+
 N_DEV = 8
 
 
