@@ -571,13 +571,16 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
             elif new.get("bh_levels", cfg.bh_levels) < cfg.bh_levels:
                 ratio = 2.0
             if "bh_comp_cap" in new:
-                # a widened completion budget is a static per-body list;
-                # its cost is ~linear in the budget (r3: the default
-                # ~n/16 list was 2.6 s of a 3.5 s step at 4M) — bound
-                # the pessimism at 8x, one window self-corrects
-                ratio = max(ratio, min(
-                    8.0, new["bh_comp_cap"]
-                    / max(cfg.bh_comp_cap or 1024, 1024)))
+                # a widened completion budget is a static per-body list
+                # whose cost is ~linear in the budget (r3: the default
+                # ~n/16 list was 2.6 s of a 3.5 s step at 4M). Use the
+                # RAW budget ratio, deliberately pessimistic: an 8x cap
+                # under-predicted a 4096 -> 710656 widening ~25x and the
+                # clipped window still outlived the watchdog (r5 soak,
+                # second crash). Overshooting only shrinks the next
+                # window to 1 step; the measurement then takes over.
+                ratio = max(ratio, new["bh_comp_cap"]
+                            / max(cfg.bh_comp_cap or 1024, 1024))
             prior = (est_step_wall * max(1.0, ratio)
                      if est_step_wall else None)
             cfg = _dc(cfg, **new)
