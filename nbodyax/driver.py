@@ -219,6 +219,10 @@ def run_simulation(cfg: SimConfig, *, quiet: bool = False,
             if not quiet:
                 print(f"Run failed ({type(e).__name__}); resuming from {ck} "
                       f"(attempt {attempt + 2}/{attempts})")
+            # let a crashed/restarting TPU worker settle before throwing a
+            # fresh multi-minute compile at it: the same graph that "died"
+            # twice mid-restart ran clean from a fresh process (r5 soak)
+            time.sleep(15.0)
             state = load_checkpoint(ck)
     raise last_err  # unreachable
 
