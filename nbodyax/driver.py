@@ -492,7 +492,12 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                 # through continued drift (bench r4: equality-sized caps
                 # re-overflowed at every probe of the merger)
                 want = int(want * DRIFT_K_HEADROOM)
-            need = min(1024, 8 * -(-want // 8))
+            # the slot grid allocates cells * max(K, slot_cap) rows — K
+            # is HBM-bounded per grid (64M rows ~ 2 GB of 8-channel f32;
+            # an unbounded widening at a fine grid is a guaranteed OOM)
+            k_budget = max(40, 8 * ((64 * (1 << 20)
+                           >> (cfg.dimensions * cfg.bh_levels)) // 8))
+            need = min(1024, k_budget, 8 * -(-want // 8))
             if eff < need:
                 # widen straight to the (headroom-padded) measured need; a
                 # guard on the EFFECTIVE cap: when slot_cap already covers
@@ -545,14 +550,27 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                                   cfg.bh_ring, cfg.dimensions, cfg.bh_near)
             refine_fits = (cells_f * max(k_f, slot_cap(s.capacity, cells_f))
                            <= 64 * (1 << 20))
+            # drift headroom x2: each +12.5% widening was outgrown by the
+            # NEXT probe during the core collapse — five recompiles in
+            # five steps (comp 248k -> 683k, r5 soak) where one doubled
+            # budget would have held
+            need_drift = min(s.capacity, 1024 * -(-(2 * pop) // 1024))
             if cfg.bh_comp_cap and need_comp <= default_comp:
                 new["bh_comp_cap"] = need_comp
+            elif (refine_fits and cfg.bh_levels < max_adapt_lv
+                  and pop > s.capacity // 8):
+                # the population fundamentally out-crowds this grid: a
+                # finer grid shrinks S and with it the PER-BODY completion
+                # row cost ((2*ring+1)*S) — widening the budget at the
+                # coarse grid pays ~6x more per completion body
+                new["bh_levels"] = cfg.bh_levels + 1
+                new["bh_neighbor_k"] = k_f
             elif ((dropping or drift_mode)
-                  and need_comp <= s.capacity // 4):
+                  and need_drift <= s.capacity // 4):
                 # transient merger crowding: widen the budget in place
                 # (one cheap recompile); refining mid-collapse churns
                 # grids the post-compaction re-resolve discards anyway
-                new["bh_comp_cap"] = need_comp
+                new["bh_comp_cap"] = need_drift
             elif cfg.bh_levels < max_adapt_lv and refine_fits:
                 new["bh_levels"] = cfg.bh_levels + 1
                 new["bh_neighbor_k"] = k_f
