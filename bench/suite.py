@@ -251,7 +251,7 @@ def config5_galaxy_4m(steps=5):
             "ring_dryrun_8dev_ok": ring.returncode == 0,
             "ring_dryrun_wall_s": ring_wall,
             "note": "10k-step horizon executed by bench.soak10k "
-                    "(bench/soak4m_10k_r4.json)"}
+                    "(bench/soak10k_r5.json)"}
 
 
 def config6_bh_million():

@@ -188,6 +188,46 @@ def build_step(cfg: SimConfig, capacity: int = 0,
     return make_step(p, accum_fn=accum_fn)
 
 
+def _bh_ck_extra(cfg: SimConfig):
+    """Checkpoint metadata: the CURRENT (resolved/adapted) bh knobs, so a
+    resume jumps straight to the working knob set (see save_checkpoint)."""
+    if cfg.force_model != "bh":
+        return None
+    return {"bh_levels": cfg.bh_levels,
+            "bh_neighbor_k": cfg.bh_neighbor_k,
+            "bh_comp_cap": cfg.bh_comp_cap,
+            "bh_near_slots": 1 if cfg.bh_near == "slots" else 0}
+
+
+def _adopt_ck_knobs(cfg: SimConfig, path: str, quiet: bool = True):
+    """Adopt a checkpoint's saved bh knobs into the USER-AUTO fields of
+    ``cfg``. Mid-merger, the adapted knobs are the product of several
+    multi-minute recompiles; re-walking that ladder on every resume both
+    wastes the wall and piles graphs onto the worker (r5 soak: the pile-up
+    itself crashed it). Pinned user knobs are never overridden."""
+    if cfg.force_model != "bh":
+        return cfg
+    from nbodyax.io.checkpoint import load_checkpoint_extra
+    meta = load_checkpoint_extra(path)
+    if "bh_levels" not in meta:
+        return cfg
+    new = {}
+    if cfg.bh_levels == 0 and meta["bh_levels"]:
+        new["bh_levels"] = int(meta["bh_levels"])
+    if cfg.bh_neighbor_k == 0 and meta.get("bh_neighbor_k"):
+        new["bh_neighbor_k"] = int(meta["bh_neighbor_k"])
+    if cfg.bh_comp_cap == 0 and meta.get("bh_comp_cap"):
+        new["bh_comp_cap"] = int(meta["bh_comp_cap"])
+    if cfg.bh_near == "auto" and "bh_near_slots" in meta:
+        new["bh_near"] = "slots" if meta["bh_near_slots"] else "rows"
+    if new:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, **new)
+        if not quiet:
+            print(f"resumed bh knobs from checkpoint: {new}")
+    return cfg
+
+
 def run_simulation(cfg: SimConfig, *, quiet: bool = False,
                    state: Optional[SimState] = None,
                    profile_dir: Optional[str] = None) -> RunResult:
@@ -223,7 +263,12 @@ def run_simulation(cfg: SimConfig, *, quiet: bool = False,
             # fresh multi-minute compile at it: the same graph that "died"
             # twice mid-restart ran clean from a fresh process (r5 soak)
             time.sleep(15.0)
-            state = load_checkpoint(ck)
+            # hand the checkpoint PATH to the next attempt (not a loaded
+            # state): _run_simulation_once then adopts the snapshot's
+            # saved bh knobs uniformly with a cold process-level resume
+            import dataclasses
+            cfg = dataclasses.replace(cfg, resume_from=ck)
+            state = None
     raise last_err  # unreachable
 
 
@@ -233,9 +278,17 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
     t_start = time.perf_counter()  # analog of jbutil::gettime (nbody.cu:374)
     logger = JsonlLogger(cfg.log_path, echo=not quiet)
 
+    # which bh knobs the USER left auto — captured before any checkpoint
+    # adoption or resolution so compaction's re-resolve (below) knows what
+    # it may re-pick
+    auto_knobs = {"bh_levels": cfg.bh_levels == 0,
+                  "bh_near": cfg.bh_near == "auto",
+                  "bh_neighbor_k": cfg.bh_neighbor_k == 0,
+                  "bh_comp_cap": cfg.bh_comp_cap == 0}
     if state is None:
         if cfg.resume_from:
             state = load_checkpoint(cfg.resume_from)
+            cfg = _adopt_ck_knobs(cfg, cfg.resume_from, quiet=quiet)
             if not quiet:
                 print(f"Resumed from {cfg.resume_from} at step "
                       f"{int(np.asarray(state.step))}")
@@ -252,14 +305,8 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
 
     # density-aware bh knob resolution against the actual starting state;
     # the driver needs the resolved cfg itself (bh_health / bhAdapt below).
-    # Which knobs the USER left auto is remembered so compaction can
-    # re-resolve them against the shrunken population (levels/K/compCap
-    # sized for dead capacity would otherwise persist until an overflow
-    # forces an adapt).
-    auto_knobs = {"bh_levels": cfg.bh_levels == 0,
-                  "bh_near": cfg.bh_near == "auto",
-                  "bh_neighbor_k": cfg.bh_neighbor_k == 0,
-                  "bh_comp_cap": cfg.bh_comp_cap == 0}
+    # ``auto_knobs`` (captured above, pre-adoption) lets compaction
+    # re-resolve the user-auto knobs against the shrunken population.
     cfg = resolve_bh_config(cfg, capacity=state.capacity, state=state,
                             quiet=quiet)
 
@@ -411,7 +458,8 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
         # starting state up front; retention treats it like any other.
         save_checkpoint(cfg.checkpoint_path, state,
                         keep_last=cfg.checkpoint_keep,
-                        milestone_every=cfg.checkpoint_milestone_every)
+                        milestone_every=cfg.checkpoint_milestone_every,
+                        extra=_bh_ck_extra(cfg))
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
@@ -433,6 +481,7 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
         last_probe_alive = float(jnp.sum(state.mass > 0))
     prev_sim_time = float(np.asarray(state.sim_time))
     prev_log_iter = start_step
+    last_ck_step = start_step
 
     def bh_probe_adapt(s, alive_now, at_step):
         """One ``bh_health`` dispatch+fetch plus the bhAdapt response
@@ -724,12 +773,24 @@ def _run_simulation_once(cfg: SimConfig, *, quiet: bool = False,
                            force_model=cfg.force_model,
                            **{pairs_key: meter.pairs_per_sec},
                            **scal)
-            if cfg.checkpoint_every and \
-                    iteration % cfg.checkpoint_every == 0:
+            ck_due = (cfg.checkpoint_every
+                      and iteration % cfg.checkpoint_every == 0)
+            if (cfg.checkpoint_every and not ck_due and drift_mode
+                    and iteration - last_ck_step
+                    >= max(8, cfg.checkpoint_every // 4)):
+                # merger-phase steps cost ~a minute each at 4M; losing a
+                # whole cadence interval to a worker crash re-pays tens
+                # of minutes — checkpoint at a finer effective cadence
+                # while drifting (knob metadata rides along, so the
+                # resume also skips the adapt-ladder recompiles)
+                ck_due = True
+            if ck_due:
                 save_checkpoint(
                     cfg.checkpoint_path, state,
                     keep_last=cfg.checkpoint_keep,
-                    milestone_every=cfg.checkpoint_milestone_every)
+                    milestone_every=cfg.checkpoint_milestone_every,
+                    extra=_bh_ck_extra(cfg))
+                last_ck_step = iteration
             compact_due = (cfg.compact_every
                            and iteration % cfg.compact_every == 0)
             if cfg.compact_every and not compact_due:

@@ -29,18 +29,26 @@ import numpy as np
 from nbodyax.state import SimState, make_state
 
 __all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint",
-           "prune_checkpoints"]
+           "prune_checkpoints", "load_checkpoint_extra"]
 
 _FORMAT_VERSION = 1
 _NAME_RE = re.compile(r"^step_(\d+)\.npz$")
 
 
 def save_checkpoint(directory: str, state: SimState, *,
-                    keep_last: int = 0, milestone_every: int = 0) -> str:
+                    keep_last: int = 0, milestone_every: int = 0,
+                    extra: Optional[dict] = None) -> str:
+    """``extra``: scalar metadata persisted alongside the state under
+    ``meta_``-prefixed keys (the driver stores its ADAPTED bh knobs here,
+    so a fresh process resuming mid-merger jumps straight to the working
+    knob set instead of re-walking every adapt recompile — r5 soak: the
+    re-walk was ~6 multi-minute recompiles per restart, and the
+    accumulated graphs themselves pressured the worker into crashing)."""
     os.makedirs(directory, exist_ok=True)
     step = int(np.asarray(state.step))
     path = os.path.join(directory, f"step_{step:09d}.npz")
     tmp = path + ".tmp.npz"  # .npz suffix so np.savez doesn't append one
+    meta = {f"meta_{k}": np.asarray(v) for k, v in (extra or {}).items()}
     np.savez(tmp,
              version=np.int32(_FORMAT_VERSION),
              pos=np.asarray(state.pos),
@@ -48,7 +56,8 @@ def save_checkpoint(directory: str, state: SimState, *,
              mass=np.asarray(state.mass),
              radius=np.asarray(state.radius),
              step=np.int32(step),
-             sim_time=np.float32(np.asarray(state.sim_time)))
+             sim_time=np.float32(np.asarray(state.sim_time)),
+             **meta)
     os.replace(tmp, path)
     if keep_last:
         prune_checkpoints(directory, keep_last=keep_last,
@@ -91,6 +100,17 @@ def load_checkpoint(path: str) -> SimState:
         t = float(z["sim_time"]) if "sim_time" in z.files else 0.0
         return make_state(z["pos"], z["vel"], z["mass"], z["radius"],
                           step=int(z["step"]), sim_time=t)
+
+
+def load_checkpoint_extra(path: str) -> dict:
+    """The ``extra`` metadata a snapshot was saved with (un-prefixed keys,
+    Python scalars); empty for snapshots without any."""
+    out = {}
+    with np.load(path) as z:
+        for k in z.files:
+            if k.startswith("meta_"):
+                out[k[len("meta_"):]] = z[k].item()
+    return out
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:

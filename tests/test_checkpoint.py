@@ -89,3 +89,49 @@ def test_driver_prunes_checkpoints(tmp_path):
                     checkpoint_keep=2, checkpoint_path=str(tmp_path / "ck"))
     run_simulation(cfg, quiet=True)
     assert _names(tmp_path / "ck") == [f"step_{s:09d}.npz" for s in (8, 10)]
+
+
+def test_checkpoint_extra_roundtrip(tmp_path):
+    """Scalar metadata rides the snapshot under meta_ keys and comes back
+    as Python scalars; snapshots without any return {}."""
+    from nbodyax.io.checkpoint import (load_checkpoint, load_checkpoint_extra,
+                                       save_checkpoint)
+    st = small_state()._replace(step=np.int32(7))
+    p = save_checkpoint(str(tmp_path), st,
+                        extra={"bh_levels": 9, "bh_neighbor_k": 264,
+                               "bh_comp_cap": 683008, "bh_near_slots": 1})
+    assert load_checkpoint_extra(p) == {
+        "bh_levels": 9, "bh_neighbor_k": 264,
+        "bh_comp_cap": 683008, "bh_near_slots": 1}
+    # state itself unaffected by the extra fields
+    back = load_checkpoint(p)
+    np.testing.assert_array_equal(np.asarray(back.mass), np.asarray(st.mass))
+    p2 = save_checkpoint(str(tmp_path), small_state()._replace(step=np.int32(8)))
+    assert load_checkpoint_extra(p2) == {}
+
+
+def test_resume_adopts_adapted_bh_knobs(tmp_path):
+    """A resume adopts the snapshot's saved (adapted) bh knobs into the
+    USER-AUTO fields only — re-walking the adapt ladder's multi-minute
+    recompiles on every crash recovery is what the metadata exists to
+    avoid (r5 soak). Pinned knobs are never overridden."""
+    import dataclasses
+    from nbodyax.config import SimConfig
+    from nbodyax.driver import _adopt_ck_knobs
+    from nbodyax.io.checkpoint import save_checkpoint
+    p = save_checkpoint(str(tmp_path), small_state()._replace(step=np.int32(5)),
+                        extra={"bh_levels": 9, "bh_neighbor_k": 264,
+                               "bh_comp_cap": 683008, "bh_near_slots": 1})
+    cfg = SimConfig(particle_count=64, force_model="bh", save_images=False)
+    out = _adopt_ck_knobs(cfg, p)
+    assert (out.bh_levels, out.bh_neighbor_k, out.bh_comp_cap,
+            out.bh_near) == (9, 264, 683008, "slots")
+    pinned = dataclasses.replace(cfg, bh_levels=6, bh_neighbor_k=32,
+                                 bh_near="rows")
+    out2 = _adopt_ck_knobs(pinned, p)
+    assert (out2.bh_levels, out2.bh_neighbor_k, out2.bh_near) == (
+        6, 32, "rows")
+    assert out2.bh_comp_cap == 683008      # the one auto field adopts
+    # non-bh configs pass through untouched
+    exact = SimConfig(particle_count=64, save_images=False)
+    assert _adopt_ck_knobs(exact, p) is exact
