@@ -131,10 +131,16 @@ def _summarize(args, log_path, stage_log, ck_path):
     # blips are healed by bhAdapt's next window; see driver.py adapt block)
     persistent = sum(1 for i in range(1, len(overflow))
                      if overflow[i] and overflow[i - 1])
-    # wall from the JSONL windows (wall_ms = metered per-step wall), not the
-    # stage records: a stage killed mid-run (shell timeout / worker death
-    # before autoResume) writes no stage record but its windows are logged
-    wall = sum(r["wall_ms"] * args.log_every / 1000.0 for r in rows)
+    # end-to-end wall from the STAGE records when they cover the horizon
+    # (they include compiles, probes, and window dispatch overhead); the
+    # JSONL windows (wall_ms = the window's metered per-step device wall)
+    # only estimate device time and miss everything between windows. The
+    # JSONL fallback covers stages killed before writing their record.
+    wall_jsonl = sum(r["wall_ms"] * args.log_every / 1000.0 for r in rows)
+    covered = (stages and min(s["stage_from"] for s in stages) == 0
+               and max(s["stage_to"] for s in stages) >= (steps[-1]
+                                                          if steps else 0))
+    wall = sum(s["wall_s"] for s in stages) if covered else wall_jsonl
     record = {
         "bench": "soak10k_config5", "n": args.n, "force_model": "bh",
         "scene": "galaxy", "steps_total": steps[-1] if steps else 0,
@@ -159,6 +165,7 @@ def _summarize(args, log_path, stage_log, ck_path):
         "bh_overflow_last": overflow[-1] if overflow else 0,
         "finite_all_stages": all(s["finite"] for s in stages),
         "wall_s_total": round(wall, 1),
+        "wall_s_device_estimate": round(wall_jsonl, 1),
         "steps_per_sec_mean": round(steps[-1] / wall, 4) if wall else 0.0,
         "checkpoints_on_disk": sorted(os.listdir(ck_path)),
     }
