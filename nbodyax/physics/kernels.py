@@ -374,6 +374,10 @@ def _raw_impl(feats_i, feats_j_t, i_offset, j_offset, mode, eps, growth_rate,
             # loop's [TI, TJ] f32 temporaries need ~4 tiles' worth of stack
             # (measured: 1024x2048 fits in 64M, 1024x4096 needs ~66M). Scale
             # with the tile footprint, capped under the v5e 128M VMEM.
+            # NOTE: raising this does NOT fix grad-graph scoped-vmem OOMs —
+            # the stack reservation grows to fill whatever is granted; the
+            # optimization_barrier on the outputs below is the actual fix
+            # (bench.bwd_check r5).
             vmem_limit_bytes=min(100, 64 * max(1, (tile_i * tile_j) >> 21))
             * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
@@ -386,6 +390,14 @@ def _raw_impl(feats_i, feats_j_t, i_offset, j_offset, mode, eps, growth_rate,
     )(jnp.asarray(i_offset, jnp.int32).reshape(1, 1),
       jnp.asarray(j_offset, jnp.int32).reshape(1, 1),
       feats_i, feats_j_t)
+    # barrier: inside a grad program XLA otherwise co-locates this call's
+    # output in the kernel's own scoped-VMEM region, which cannot fit by
+    # construction (the kernel's stack reservation already fills whatever
+    # vmem_limit_bytes grants — measured 64.98M/64M and 81.78M/80M on the
+    # chip, bench.bwd_check r5). The barrier keeps the output a plain HBM
+    # buffer; forward-only graphs are unaffected (the output was
+    # HBM-resident there anyway).
+    out = jax.lax.optimization_barrier(out)
     if mode == "momentum":
         return out[0][:ni], out[1][:ni]
     return out[:ni], None

@@ -225,7 +225,14 @@ def _bwd_pass(rows, cols_t, g, row_off, col_off, *, side: str, mode: str,
     "j" -> [NUM_CH, C] (cotangents of the streamed i bodies)."""
     nr, nc = rows.shape[0], cols_t.shape[1]
     tile_r = min(tile_r, max(8, nr))
-    tile_c = min(tile_c, max(128, nc))
+    # the backward body holds ~2x the forward's live [TR, TC] temporaries
+    # (u, gates, cotangent products for both pair sides): at the forward's
+    # (1024, 2048) tiles its scoped stack measured 64.98M against the 64M
+    # limit ON THE CHIP (bench.bwd_check r5 — interpret mode cannot see
+    # Mosaic stack accounting). Half the stream tile halves the stack;
+    # the kernel stays VPU-bound and streaming, so throughput is
+    # unaffected at >=1024 lanes.
+    tile_c = min(tile_c, 1024, max(128, nc))
     nr_pad = -(-nr // tile_r) * tile_r
     nc_pad = -(-nc // tile_c) * tile_c
     rows = _pad_to(rows, nr_pad, 0)        # padded rows: mass 0 => gated off
@@ -272,6 +279,10 @@ def _bwd_pass(rows, cols_t, g, row_off, col_off, *, side: str, mode: str,
     )(jnp.asarray(row_off, jnp.int32).reshape(1, 1),
       jnp.asarray(col_off, jnp.int32).reshape(1, 1),
       rows, cols_t, g)
+    # same barrier as the forward kernel (kernels.py _raw_impl): without
+    # it the grad program scopes this output into the kernel's own VMEM
+    # stack region, which cannot fit (on-chip bench.bwd_check r5)
+    out = jax.lax.optimization_barrier(out)
     return out[:nr]
 
 
