@@ -225,7 +225,10 @@ def config5_galaxy_4m(steps=5):
                     collision_mode="reference", softening=100.0,
                     force_model="bh")
     state = init_scene(cfg, parity=False)
-    step = build_step(cfg)
+    # density-aware knob resolution (what the driver always does): without
+    # the state probe the clustered galaxy pays the ~n/16 worst-case
+    # completion list every step (2.48 vs 0.8 s/step measured r5)
+    step = build_step(cfg, state=state)
     state, dt = _time_steps(step, state, steps=steps, chunk=1)
 
     cfg_exact = SimConfig(particle_count=4_194_304, scene="galaxy",
@@ -265,7 +268,7 @@ def config6_bh_million():
     cfg = SimConfig(particle_count=1_048_576, collision_mode="reference",
                     force_model="bh", softening=100.0)
     state = init_scene(cfg, parity=False)
-    step = build_step(cfg)
+    step = build_step(cfg, state=state)   # density-aware, as the driver
     state, dt = _time_steps(step, state, steps=3, chunk=1)
     n = state.capacity
     return {"config": 6, "n": n, "steps_per_sec": 1 / dt,
