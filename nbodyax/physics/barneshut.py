@@ -1931,7 +1931,8 @@ def _annulus_force_bodies(i_pos, packed, ext, levels, w_near, w_far, eps2,
 def giant_collision_accumulators(pos, vel, mass, radius, *, ext, levels,
                                  ring, growth_rate, mode: str,
                                  n_giants: int,
-                                 chunk: int = 16384) -> PairAccumulators:
+                                 chunk: int = 16384,
+                                 cell_range=None) -> PairAccumulators:
     """Exact COLLISION channels for the largest-radius bodies at any pair
     distance: the near window only covers overlaps with
     ``r_i + r_j <= ring * cell`` (module docstring, approximation 1), and
@@ -1960,7 +1961,15 @@ def giant_collision_accumulators(pos, vel, mass, radius, *, ext, levels,
     ``bh_health`` reports the count of coverage-exceeding bodies beyond
     the giant list). Returns full-length [n] accumulators (identity rows
     for untouched bodies); ``mode="none"`` or ``n_giants=0`` contributes
-    nothing and should be skipped by the caller."""
+    nothing and should be skipped by the caller.
+
+    ``cell_range=(base, count)`` (traced base, static count) restricts the
+    OUTPUT rows to bodies whose finest cell falls in that contiguous cell
+    slice — the sharded-bh hook: the giant set (a global top_k of the
+    all-gathered state, identical on every shard) is evaluated by every
+    shard, but each body's rows are produced only by its CELL-owner shard,
+    preserving the one-shard-per-body invariant the psum_scatter merge
+    sums over (sharding/bh.py)."""
     n = pos.shape[0]
     dim = pos.shape[-1]
     g = 1 << levels
@@ -1982,6 +1991,17 @@ def giant_collision_accumulators(pos, vel, mass, radius, *, ext, levels,
     gcells = cells[topi]
     is_giant = jnp.zeros((n,), bool).at[
         jnp.where(gmask, topi, n)].set(True, mode="drop")
+    if cell_range is not None:
+        # ownership gates OUTPUT ROWS only — the giant PARTNER set stays
+        # global (an owned body must still be eaten by a non-owned giant;
+        # that giant's own row is produced by ITS owner shard)
+        flat = _flatten_cells(tuple(cells[:, d] for d in range(dim)), g)
+        owned = (flat >= cell_range[0]) & (flat < cell_range[0]
+                                           + cell_range[1])
+        gmask_out = gmask & owned[topi]
+    else:
+        owned = None
+        gmask_out = gmask
 
     def uncovered(ci, cj):
         """[C, M] pairs beyond the near window (any-axis distance > ring)."""
@@ -2002,6 +2022,7 @@ def giant_collision_accumulators(pos, vel, mass, radius, *, ext, levels,
 
     pos_p, vel_p, mass_p, radius_p, cells_p, isg_p = map(
         pad, (pos, vel, mass, radius, cells, is_giant))
+    owned_p = pad(owned) if owned is not None else None
     idx_p = lax.broadcasted_iota(jnp.int32, (npad, 1), 0).squeeze(-1)
 
     # pass 1: every body (chunked over i) against the giant partner set
@@ -2012,6 +2033,8 @@ def giant_collision_accumulators(pos, vel, mass, radius, *, ext, levels,
             return lax.dynamic_slice_in_dim(x, s, c)
 
         pm = uncovered(sl(cells_p), gcells)
+        if owned_p is not None:
+            pm = pm & sl(owned_p)[:, None]
         return pair_accumulators_chunk(
             sl(pos_p), sl(vel_p), sl(mass_p), sl(radius_p), sl(idx_p),
             pg, vg, mg, rg, gids, eps2=eps2, growth_rate=gr, mode=mode,
@@ -2033,7 +2056,7 @@ def giant_collision_accumulators(pos, vel, mass, radius, *, ext, levels,
 
         pm = uncovered(gcells, sl(cells_p)) & ~sl(isg_p)[None, :]
         return pair_accumulators_chunk(
-            pg, vg, mg, rg, gids,
+            pg, vg, jnp.where(gmask_out, mg, 0.0), rg, gids,
             sl(pos_p), sl(vel_p), sl(mass_p), sl(radius_p), sl(idx_p),
             eps2=eps2, growth_rate=gr, mode=mode, pair_mask=pm,
             with_force=False)
@@ -2054,7 +2077,7 @@ def giant_collision_accumulators(pos, vel, mass, radius, *, ext, levels,
     # (top_k indices are unique; masked slots target n -> dropped)
     ids = lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     full2 = empty_accumulators(ids, dim=dim)
-    safe = jnp.where(gmask, topi, n)
+    safe = jnp.where(gmask_out, topi, n)
     full2 = PairAccumulators(*[
         f.at[safe].set(v, mode="drop") for f, v in zip(full2, acc2)])
     return combine_accumulators(acc1, full2)
@@ -2270,16 +2293,16 @@ def _bh_cells_eval(pos, vel, mass, radius, *, eps2, growth_rate, mode,
     far_acc = empty_accumulators(ids, dim=dim)._replace(
         force=jnp.where(alive[:, None], far_v, 0.0))
     out = combine_accumulators(near_acc, far_acc)
-    if n_giants and nshards == 1 and mode != "none":
+    if n_giants and mode != "none":
         # exact any-distance collisions for the largest-radius bodies
-        # (giant_collision_accumulators docstring). Sharded bh keeps the
-        # window-only coverage for now: the giant rows span every shard's
-        # cell slice, which breaks the psum_scatter identity-rebased merge
-        # — see sharding/bh.py.
+        # (giant_collision_accumulators docstring). Sharded: every shard
+        # evaluates the identical global giant set but produces rows only
+        # for its own cell slice (cell_range), preserving the
+        # one-shard-per-body invariant the psum_scatter merge sums over.
         out = combine_accumulators(out, giant_collision_accumulators(
             pos, vel, mass, radius, ext=ext, levels=levels, ring=ring,
             growth_rate=growth_rate, mode=mode, n_giants=n_giants,
-            chunk=max(chunk, 4096)))
+            chunk=max(chunk, 4096), cell_range=cell_range))
     return out
 
 
@@ -2341,7 +2364,8 @@ def bh_cellrange_accumulators(pos, vel, mass, radius, shard, nshards: int, *,
                               far: str = "fmm",
                               near: str = "rows",
                               comp_cap: int = 0,
-                              near_pallas: str = "auto") -> PairAccumulators:
+                              near_pallas: str = "auto",
+                              n_giants: int = 1024) -> PairAccumulators:
     """One cell-range shard's contribution to the global accumulators.
 
     Full-length [n] accumulators holding real values only for bodies whose
@@ -2361,7 +2385,8 @@ def bh_cellrange_accumulators(pos, vel, mass, radius, shard, nshards: int, *,
                           ring=ring, neighbor_k=neighbor_k, order=order,
                           chunk=chunk, shard=shard, nshards=nshards, far=far,
                           near=near, comp_cap=comp_cap,
-                          pallas_near=_resolve_near_pallas(near_pallas, near))
+                          pallas_near=_resolve_near_pallas(near_pallas, near),
+                          n_giants=n_giants)
 
 
 @partial(jax.jit, static_argnames=("levels", "neighbor_k", "ring", "near",

@@ -94,7 +94,8 @@ def make_sharded_bh_step(cfg: SimConfig,
                 far=getattr(cfg, "bh_far", "fmm"),
                 near=_resolve_near(cfg),
                 comp_cap=getattr(cfg, "bh_comp_cap", 0),
-                near_pallas=getattr(cfg, "bh_pallas", "auto"))
+                near_pallas=getattr(cfg, "bh_pallas", "auto"),
+                n_giants=getattr(cfg, "bh_giants", 1024))
             sc = lambda x: lax.psum_scatter(x, AXIS, scatter_dimension=0,
                                             tiled=True)
             i_loc = me * n_local + jnp.arange(n_local, dtype=jnp.int32)

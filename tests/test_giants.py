@@ -134,3 +134,69 @@ def test_giant_step_end_to_end():
     assert float(np.asarray(s_off.mass)[3]) > 0.0      # missed
     assert (float(np.asarray(s_on.mass)[2])
             > float(np.asarray(s_off.mass)[2]))
+
+
+@pytest.mark.slow
+@pytest.mark.sharded
+def test_giant_cellrange_shards_disjoint_and_complete():
+    """Sharded hook: per-shard cell-range accumulators (giant rows routed
+    to each body's CELL-owner shard) sum to the full single-device
+    accumulators on the giant scene — the invariant the psum_scatter
+    merge relies on (sharding/bh.py)."""
+    from nbodyax.physics.barneshut import bh_cellrange_accumulators
+    pos, vel, mass, radius = giant_scene()
+    kw = dict(growth_rate=0.1, mode="reference", levels=4, ring=1,
+              neighbor_k=256)
+    full = bh_accumulators(pos, vel, mass, radius, n_giants=64, **kw)
+    nsh = 4
+    parts = [bh_cellrange_accumulators(pos, vel, mass, radius, s, nsh,
+                                       n_giants=64, **kw)
+             for s in range(nsh)]
+    gm = sum(np.asarray(p.gained_mass) for p in parts)
+    np.testing.assert_allclose(gm, np.asarray(full.gained_mass), rtol=1e-6)
+    gr = sum(np.asarray(p.gained_radius) for p in parts)
+    np.testing.assert_allclose(gr, np.asarray(full.gained_radius),
+                               rtol=1e-6)
+    died = np.zeros(len(mass), bool)
+    touched = np.zeros(len(mass), int)
+    for p in parts:
+        d = np.asarray(p.died)
+        died |= d
+        touched += d.astype(int)
+    np.testing.assert_array_equal(died, np.asarray(full.died))
+    assert touched.max() <= 1      # each death produced by exactly one shard
+
+
+@pytest.mark.slow
+@pytest.mark.sharded
+def test_sharded_bh_step_carries_giant_pass():
+    """End-to-end: the 8-shard bh step kills the distant victim exactly as
+    the single-device step does (the giant set is a global top_k of the
+    all-gathered state, identical on every shard)."""
+    from functools import partial
+    from nbodyax.config import SimConfig
+    from nbodyax.physics.step import PhysicsParams, make_step
+    from nbodyax.sharding.bh import make_sharded_bh_step
+    from nbodyax.sharding.mesh import make_mesh, pad_to_shards, shard_state
+    from nbodyax.state import make_state
+    import jax
+
+    n_dev = len(jax.devices())
+    pos, vel, mass, radius = giant_scene()
+    st = make_state(pos, vel, mass, radius)
+    p = PhysicsParams(dt=0.1, field_width=1000, field_height=1000,
+                      eps=10.0)
+    cfg = SimConfig(shards=n_dev, force_model="bh", bh_levels=4,
+                    bh_neighbor_k=256, softening=10.0)
+    mesh = make_mesh(n_dev)
+    sharded = make_sharded_bh_step(cfg, p, mesh=mesh)
+    single = make_step(p, accum_fn=partial(
+        bh_accumulators, eps=p.eps, growth_rate=p.growth_rate,
+        mode="reference", levels=4, neighbor_k=256, n_giants=1024))
+    a = sharded(shard_state(pad_to_shards(st, n_dev), mesh))
+    b = single(st)
+    assert float(np.asarray(b.mass)[3]) == 0.0        # victim eaten
+    np.testing.assert_allclose(np.asarray(a.mass), np.asarray(b.mass),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos),
+                               rtol=1e-5, atol=1e-3)
