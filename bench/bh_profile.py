@@ -35,6 +35,10 @@ def main(argv=None) -> int:
                     help="scene to profile (galaxy = BASELINE config-5 disks)")
     ap.add_argument("--compcap", type=int, default=0,
                     help="bhCompCap completion-budget override (0 = default)")
+    ap.add_argument("--giants", type=int, default=1024,
+                    help="bhGiants exact-collision list size (0 = off; at "
+                         "N=16M the pass's full-length accumulator "
+                         "temporaries exceed the 16 GB chip — r5)")
     args = ap.parse_args(argv)
 
     import jax
@@ -58,6 +62,7 @@ def main(argv=None) -> int:
                     bh_order=args.order, dimensions=args.dim,
                     bh_far=args.far, bh_near=args.near,
                     bh_pallas=args.pallas, scene=args.scene,
+                    bh_giants=args.giants,
                     bh_comp_cap=args.compcap)
     state = init_scene(cfg, parity=False)
     pos, vel = state.pos, state.vel
@@ -131,9 +136,15 @@ def main(argv=None) -> int:
         return s_cell[0] + order[-1]
 
     # slot-pack + near-kernel probes run on a PREBUILT structure so they
-    # time exactly one component (slots engine only)
+    # time exactly one component (slots engine only). SKIPPED when --only
+    # excludes them: the prebuilt structure + padded jrows stay alive for
+    # the whole probe loop, and at N=16M that held working set OOM'd the
+    # full_step_s probe (r5) — the record this tool exists to measure.
     slotpack_only = nearkernel_only = None
-    if args.near == "slots":
+    _only = [x for x in (args.only or "").split(",") if x]
+    want_kernel_probes = not _only or {"slotpack_s", "nearkernel_s"} & set(
+        _only)
+    if args.near == "slots" and want_kernel_probes:
         from nbodyax.physics.barneshut import _extent as _ext_fn
         from nbodyax.physics.slotpack_pallas import (build_jrows_pallas,
                                                      slot_pack_plan)
